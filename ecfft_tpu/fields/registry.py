@@ -1,0 +1,157 @@
+"""Field instantiations: the API surface the reference exposes per field.
+
+Mirrors /root/reference/src/lib.rs:18-215 — each supported field carries
+hardcoded curve constants and knows how to produce the FFTree ingredients
+(leaf evaluation domain + isogeny x-map chain). The constants below are the
+reference's own (they double as test vectors, lib.rs:45-59 and
+lib.rs:200-206).
+
+Device layout decisions also live here: each ``FieldSpec`` fixes the limb
+decomposition used on TPU (16-bit limbs in uint32 lanes so every partial
+product is exact in uint32) and the Montgomery constants (R = 2^(16·L),
+matching arkworks' R = 2^256 for secp256k1 so table values agree with the
+reference bit-for-bit after canonical-form conversion).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ecfft_tpu.ec.curve import (
+    GoodCurve,
+    Point,
+    RationalMap,
+    ShortWeierstrass,
+    coset_leaves,
+    find_isogeny_chain,
+    find_isogeny_chain_velu,
+)
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static description of a prime field and its device representation."""
+
+    name: str
+    p: int
+    num_limbs: int  # device limbs of LIMB_BITS bits each
+    montgomery: bool  # device values stored as a·R mod p
+
+    @property
+    def r(self) -> int:
+        return 1 << (LIMB_BITS * self.num_limbs)
+
+    @property
+    def r_mod_p(self) -> int:
+        return self.r % self.p
+
+    @property
+    def r2_mod_p(self) -> int:
+        return self.r * self.r % self.p
+
+    @property
+    def n_prime(self) -> int:
+        """-p^{-1} mod 2^LIMB_BITS (Montgomery reduction constant)."""
+        return (-pow(self.p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+
+    def to_montgomery(self, a: int) -> int:
+        return a * self.r % self.p if self.montgomery else a % self.p
+
+    def from_montgomery(self, a: int) -> int:
+        return (
+            a * pow(self.r, -1, self.p) % self.p if self.montgomery else a % self.p
+        )
+
+    def to_limbs(self, a: int) -> list[int]:
+        """Split the (possibly Montgomery-form) value into device limbs."""
+        return [(a >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.num_limbs)]
+
+    def from_limbs(self, limbs) -> int:
+        return sum(int(l) << (LIMB_BITS * i) for i, l in enumerate(limbs))
+
+
+# --- M31: Mersenne-31 field -------------------------------------------------
+# /root/reference/src/lib.rs:190-215. Device fast path is a single uint32
+# (no Montgomery needed: reduction mod 2^31-1 is shift-add).
+
+M31_P = (1 << 31) - 1
+
+M31 = FieldSpec(name="m31", p=M31_P, num_limbs=1, montgomery=False)
+
+# Supersingular curve with 2^31 | #E (lib.rs:200-206)
+M31_CURVE = ShortWeierstrass(1, 0, M31_P)
+M31_COSET_OFFSET = Point(1048755163, 279503108, M31_CURVE)
+M31_SUBGROUP_GENERATOR = Point(1273083559, 804329170, M31_CURVE)
+M31_SUBGROUP_TWO_ADICITY = 28
+
+
+# --- secp256k1 base field ---------------------------------------------------
+# /root/reference/src/lib.rs:18-85. 16 × 16-bit limbs, Montgomery R = 2^256.
+
+SECP_P = 2**256 - 2**32 - 977
+
+SECP256K1 = FieldSpec(name="secp256k1", p=SECP_P, num_limbs=16, montgomery=True)
+
+# GoodCurve with 2^36 | #E and its coset/subgroup points (lib.rs:45-59)
+SECP_CURVE_A = (
+    31172306031375832341232376275243462303334845584808513005362718476441963632613
+)
+SECP_CURVE_BB = (
+    45508371059383884471556188660911097844526467659576498497548207627741160623272
+)
+SECP_COSET_OFFSET_X = (
+    105623886150579165427389078198493427091405550492761682382732004625374789850161
+)
+SECP_COSET_OFFSET_Y = (
+    7709812624542158994629670452026922591039826164720902911013234773380889499231
+)
+SECP_SUBGROUP_GEN_X = (
+    41293412487153066667050767300223451435019201659857889215769525847559135483332
+)
+SECP_SUBGROUP_GEN_Y = (
+    73754924733368840065089190002333366411120578552679996887076912271884749237510
+)
+SECP_SUBGROUP_TWO_ADICITY = 36
+
+
+def build_domain(spec: FieldSpec, n: int) -> tuple[list[int], list[RationalMap]] | None:
+    """Host-side FFTree ingredients: (leaves, x-map chain) for a size-n tree.
+
+    secp256k1 path mirrors lib.rs:40-84 (GoodCurve closed-form chain);
+    m31 path mirrors build_ec_fftree's Vélu search (ec.rs:498-554).
+    Returns None when n exceeds the subgroup two-adicity (lib.rs:62-64,
+    ec.rs:513-515).
+    """
+    assert n & (n - 1) == 0, "n must be a power of two"
+    log_n = n.bit_length() - 1
+
+    if spec.name == "secp256k1":
+        if log_n >= SECP_SUBGROUP_TWO_ADICITY:
+            return None
+        curve = GoodCurve.new_odd(SECP_CURVE_A, SECP_CURVE_BB, SECP_P)
+        coset = Point(SECP_COSET_OFFSET_X, SECP_COSET_OFFSET_Y, curve)
+        gen = Point(SECP_SUBGROUP_GEN_X, SECP_SUBGROUP_GEN_Y, curve)
+        for _ in range(SECP_SUBGROUP_TWO_ADICITY - log_n):
+            gen = gen.double()
+        leaves = coset_leaves(coset, gen, n)
+        chain = find_isogeny_chain(gen)
+        return leaves, [iso.r for iso in chain]
+
+    if spec.name == "m31":
+        if log_n > M31_SUBGROUP_TWO_ADICITY:
+            return None
+        assert log_n < 32
+        gen = M31_SUBGROUP_GENERATOR
+        for _ in range(M31_SUBGROUP_TWO_ADICITY - log_n):
+            gen = gen.double()
+        maps = [iso.r for iso in find_isogeny_chain_velu(gen, log_n)]
+        leaves = coset_leaves(M31_COSET_OFFSET, gen, n)
+        return leaves, maps
+
+    raise ValueError(f"unknown field {spec.name}")
+
+
+FIELDS: dict[str, FieldSpec] = {"m31": M31, "secp256k1": SECP256K1}
