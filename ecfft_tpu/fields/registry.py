@@ -37,8 +37,9 @@ class FieldSpec:
 
     name: str
     p: int
-    num_limbs: int  # device limbs of LIMB_BITS bits each
+    num_limbs: int  # device limb count
     montgomery: bool  # device values stored as a·R mod p
+    limb_bits: int = LIMB_BITS  # bits per limb (m31 packs p in one 32-bit limb)
 
     @property
     def r(self) -> int:
@@ -57,6 +58,30 @@ class FieldSpec:
         """-p^{-1} mod 2^LIMB_BITS (Montgomery reduction constant)."""
         return (-pow(self.p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
 
+    @property
+    def fold_terms(self) -> tuple[tuple[int, int], ...]:
+        """Sparse base-2^16 digits of R mod p for pseudo-Mersenne folding.
+
+        2^(16·L) ≡ Σ d_t·2^(16·off_t) (mod p); the device mul folds
+        product columns ≥ L back in with these terms. Digit-sum bound
+        (Σ d_t < 2^11) guarantees every fold product fits uint32 even for
+        non-canonical columns < 2^21 (see device._fold).
+        """
+        rem = self.r_mod_p
+        terms = []
+        i = 0
+        while rem:
+            d = rem & LIMB_MASK
+            if d:
+                terms.append((i, d))
+            rem >>= LIMB_BITS
+            i += 1
+        assert sum(d for _, d in terms) < (1 << 11), (
+            "prime not pseudo-Mersenne-friendly for the fold reduction; "
+            "add a Montgomery fallback for this field"
+        )
+        return tuple(terms)
+
     def to_montgomery(self, a: int) -> int:
         return a * self.r % self.p if self.montgomery else a % self.p
 
@@ -67,10 +92,11 @@ class FieldSpec:
 
     def to_limbs(self, a: int) -> list[int]:
         """Split the (possibly Montgomery-form) value into device limbs."""
-        return [(a >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.num_limbs)]
+        mask = (1 << self.limb_bits) - 1
+        return [(a >> (self.limb_bits * i)) & mask for i in range(self.num_limbs)]
 
     def from_limbs(self, limbs) -> int:
-        return sum(int(l) << (LIMB_BITS * i) for i, l in enumerate(limbs))
+        return sum(int(l) << (self.limb_bits * i) for i, l in enumerate(limbs))
 
 
 # --- M31: Mersenne-31 field -------------------------------------------------
@@ -79,7 +105,7 @@ class FieldSpec:
 
 M31_P = (1 << 31) - 1
 
-M31 = FieldSpec(name="m31", p=M31_P, num_limbs=1, montgomery=False)
+M31 = FieldSpec(name="m31", p=M31_P, num_limbs=1, montgomery=False, limb_bits=32)
 
 # Supersingular curve with 2^31 | #E (lib.rs:200-206)
 M31_CURVE = ShortWeierstrass(1, 0, M31_P)
@@ -89,11 +115,12 @@ M31_SUBGROUP_TWO_ADICITY = 28
 
 
 # --- secp256k1 base field ---------------------------------------------------
-# /root/reference/src/lib.rs:18-85. 16 × 16-bit limbs, Montgomery R = 2^256.
+# /root/reference/src/lib.rs:18-85. 16 × 16-bit limbs, canonical form with
+# pseudo-Mersenne fold reduction (2^256 ≡ 2^32 + 977 mod p).
 
 SECP_P = 2**256 - 2**32 - 977
 
-SECP256K1 = FieldSpec(name="secp256k1", p=SECP_P, num_limbs=16, montgomery=True)
+SECP256K1 = FieldSpec(name="secp256k1", p=SECP_P, num_limbs=16, montgomery=False)
 
 # GoodCurve with 2^36 | #E and its coset/subgroup points (lib.rs:45-59)
 SECP_CURVE_A = (
