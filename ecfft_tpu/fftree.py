@@ -1,0 +1,397 @@
+"""The device FFTree: struct-of-arrays precomputation + public API.
+
+Re-architecture of the reference's FFTree (/root/reference/src/
+fftree.rs:24-70,318-496) for TPU:
+
+- **No subtree pointer chain.** The reference keeps a Box'd chain of
+  recursively derived subtrees (fftree.rs:29,465-482). Here the "chain"
+  is a flat dict ``tables[m]`` of per-size device arrays — a pytree of
+  uint32 limb tensors that jit/pjit map over directly. A size-N tree
+  serves every power-of-two size ≤ N (the reference's
+  ``subtree_with_size``, fftree.rs:489-496) by plain dict lookup.
+- **Construction bootstrap runs ON DEVICE.** The reference builds tables
+  bottom-up using its own partially-built algorithms (fftree.rs:381-460).
+  We keep exactly that dependency order — matrices → z0_s1 (subtree
+  tables + EXTEND) → z1_s0 (VANISH, which needs z0_s1) → z0z0/z1z1
+  (subtree MOD + EXTEND) — but each step is a batched device computation,
+  so tree generation is itself O(n log³ n) of vectorized field ops rather
+  than a single-core pointer walk. Only the O(n) elliptic-curve leaf walk
+  (lib.rs:72-79) stays on host with exact ints.
+
+Per-size tables (tree size m, serving EXTEND of m/2-point inputs):
+  leaves (m, L) · xnn_s = ⟨X^(m/2) ≀ S⟩ (m, L) · xnn_s_inv ·
+  z0_s1 = ⟨Z₀ ≀ S₁⟩ (m/2, L) · z1_s0 · z0_inv_s1 · z1_inv_s0 ·
+  z0z0_rem_xnn_s = ⟨Z₀² mod X^(m/2) ≀ S⟩ (m, L) · z1z1_rem_xnn_s ·
+  mats[d] = (dec_S0, dec_S1, rec_S0, rec_S1) per extend depth d —
+  the moiety-selected Lemma-3.2 decomposition matrices
+  (fftree.rs:338-363) with the d/2−1 exponent of THIS size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ecfft_tpu.fields import device as fd
+from ecfft_tpu.fields.host import batch_inv_mod
+from ecfft_tpu.fields.registry import FIELDS, FieldSpec, build_domain
+from ecfft_tpu.ops import core as ops
+from ecfft_tpu.ops.core import S0, S1
+
+__all__ = ["FFTree", "S0", "S1", "build_fftree"]
+
+
+def _ilog2(n: int) -> int:
+    return n.bit_length() - 1
+
+
+def _horner(spec: FieldSpec, coeffs: list, x):
+    """Evaluate a (short, host-known) polynomial at device points."""
+    acc = jnp.broadcast_to(fd.encode(spec, coeffs[-1]), x.shape)
+    for c in reversed(coeffs[:-1]):
+        acc = fd.add(spec, fd.mul(spec, acc, x), fd.encode(spec, c))
+    return acc
+
+
+def _interleave(a, b):
+    x = jnp.stack([a, b], axis=-2)
+    return x.reshape(*a.shape[:-2], a.shape[-2] * 2, a.shape[-1])
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _build_mats(spec: FieldSpec, den_coeffs: tuple, layer_pts):
+    """Decompose/recombine matrices for one layer of one tree size.
+
+    Lemma 3.2 of ECFFT-I (fftree.rs:345-362): with v the denominator of
+    the layer's rational map and (s0, s1) a matched point pair,
+    v0 = v(s0)^(d/2−1), R = [[v0, s0·v0], [v1, s1·v1]], D = R⁻¹.
+    Returns ((d, 2, 2, L) recombine, (d, 2, 2, L) decompose).
+    """
+    d = layer_pts.shape[0] // 2
+    sa = layer_pts[:d]
+    sb = layer_pts[d:]
+    e = d // 2 - 1
+    va = fd.pow_int(spec, _horner(spec, list(den_coeffs), sa), e)
+    vb = fd.pow_int(spec, _horner(spec, list(den_coeffs), sb), e)
+    r00, r01 = va, fd.mul(spec, sa, va)
+    r10, r11 = vb, fd.mul(spec, sb, vb)
+    rec = jnp.stack(
+        [jnp.stack([r00, r01], axis=-2), jnp.stack([r10, r11], axis=-2)], axis=-3
+    )  # (d, 2, 2, L)
+    det = fd.sub(spec, fd.mul(spec, r00, r11), fd.mul(spec, r01, r10))
+    di = fd.inv(spec, det)
+    d00 = fd.mul(spec, r11, di)
+    d01 = fd.neg(spec, fd.mul(spec, r01, di))
+    d10 = fd.neg(spec, fd.mul(spec, r10, di))
+    d11 = fd.mul(spec, r00, di)
+    dec = jnp.stack(
+        [jnp.stack([d00, d01], axis=-2), jnp.stack([d10, d11], axis=-2)], axis=-3
+    )
+    return rec, dec
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _xnn_step(spec: FieldSpec, s, half: int):
+    xnn = fd.pow_int(spec, s, half)
+    return xnn, fd.inv(spec, xnn)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _z_step(spec: FieldSpec, mats, s, st, vt_prev, leaves2):
+    """One size's z-table bootstrap, fully on device (fftree.rs:384-460).
+
+    ``st`` = the half-size tables, ``vt_prev`` = {size: {mats, z0_s1}} for
+    all smaller sizes (what VANISH consumes). One jit trace per tree size
+    keeps construction free of eager-dispatch overhead.
+    """
+    m = s.shape[0]
+    zeros_half = jnp.zeros_like(st["z0_s1"])
+    st_z0_s0 = _interleave(zeros_half, st["z0_s1"])
+    st_z1_s0 = _interleave(st["z1_s0"], zeros_half)
+    st_z0_s1 = ops.extend(spec, mats, st_z0_s0, S1)
+    st_z1_s1 = ops.extend(spec, mats, st_z1_s0, S1)
+    z0_s1 = fd.mul(spec, st_z0_s1, st_z1_s1)
+
+    vt = dict(vt_prev)
+    vt[m] = {"mats": mats, "z0_s1": z0_s1}
+    z1_s = ops.vanish(spec, vt, leaves2, s[1::2])
+    z1_s0 = z1_s[0::2]
+
+    z0_inv_s1 = fd.inv(spec, z0_s1)
+    z1_inv_s0 = fd.inv(spec, z1_s0)
+
+    xnn_s, xnn_s_inv = _xnn_step(spec, s, m // 2)
+    xnnnn_s, xnnnn_s_inv = _xnn_step(spec, s, m // 4)
+    sq_s0 = fd.mul(spec, st["z0z0_rem_xnn_s"], st["z1z1_rem_xnn_s"])
+    rem_s0 = ops.modular_reduce(
+        spec,
+        st["mats"],
+        st["z0_inv_s1"],
+        sq_s0,
+        st["xnn_s"][1::2],
+        st["xnn_s_inv"][0::2],
+        st["z0z0_rem_xnn_s"],
+    )
+    rem_s1 = ops.extend(spec, mats, rem_s0, S1)
+    z0z0_rem_xnnnn_s = _interleave(rem_s0, rem_s1)
+    z0_s = _interleave(jnp.zeros_like(z0_s1), z0_s1)
+    z0_rem_xnn_sq_s = fd.square(spec, fd.sub(spec, z0_s, xnn_s))
+    hi = fd.mul(
+        spec, fd.sub(spec, z0_rem_xnn_sq_s, z0z0_rem_xnnnn_s), xnnnn_s_inv
+    )
+    hi_rem = ops.modular_reduce(
+        spec,
+        mats,
+        z0_inv_s1,
+        hi,
+        xnnnn_s[1::2],
+        xnnnn_s_inv[0::2],
+        z0z0_rem_xnnnn_s,
+    )
+    z0z0_rem_xnn_s = fd.add(
+        spec, z0z0_rem_xnnnn_s, fd.mul(spec, xnnnn_s, hi_rem)
+    )
+    z1_s = _interleave(z1_s0, jnp.zeros_like(z1_s0))
+    z1z1 = fd.square(spec, fd.sub(spec, z1_s, xnn_s))
+    z1z1_rem_xnn_s = ops.modular_reduce(
+        spec,
+        mats,
+        z0_inv_s1,
+        z1z1,
+        xnn_s[1::2],
+        xnn_s_inv[0::2],
+        z0z0_rem_xnn_s,
+    )
+    return {
+        "xnn_s": xnn_s,
+        "xnn_s_inv": xnn_s_inv,
+        "z0_s1": z0_s1,
+        "z1_s0": z1_s0,
+        "z0_inv_s1": z0_inv_s1,
+        "z1_inv_s0": z1_inv_s0,
+        "z0z0_rem_xnn_s": z0z0_rem_xnn_s,
+        "z1z1_rem_xnn_s": z1z1_rem_xnn_s,
+    }
+
+
+class FFTree:
+    """Precomputed ECFFT evaluation-domain tables for one field and size.
+
+    Public surface mirrors the reference FFTree (fftree.rs:123-316) with
+    batch-first semantics: every method accepts inputs of shape
+    (..., n, L-limbs-encoded) — use :meth:`encode`/:meth:`decode` to move
+    between python ints and device form — and dispatches on the trailing
+    size like the reference's ``subtree_with_size`` (fftree.rs:489-496).
+    """
+
+    def __init__(self, spec: FieldSpec, n: int, tables: dict,
+                 f_layers: list | None = None, maps: list | None = None):
+        self.spec = spec
+        self.n = n
+        self.tables = tables
+        # host-int domain layers + rational maps, kept for serialization
+        self.f_layers = f_layers
+        self.maps = maps
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def build(cls, field: str | FieldSpec, n: int) -> "FFTree | None":
+        """F::build_fftree(n) (lib.rs:14-16, 40-84, 199-214): None when n
+        exceeds the field's curve two-adicity."""
+        spec = FIELDS[field] if isinstance(field, str) else field
+        dom = build_domain(spec, n)
+        if dom is None:
+            return None
+        leaves, maps = dom
+        # host: fill internal domain layers (fftree.rs:56-67), exact ints
+        f_layers = [leaves]
+        for rmap in maps:
+            prev = f_layers[-1]
+            half = len(prev) // 2
+            nxt = [rmap(x) for x in prev[:half]]
+            f_layers.append(nxt)
+        return cls.from_domain_layers(spec, f_layers, maps)
+
+    @classmethod
+    def from_domain_layers(cls, spec, f_layers, maps) -> "FFTree":
+        """Device bootstrap in the reference's exact dependency order
+        (fftree.rs:318-463), iterating sizes bottom-up instead of
+        recursing top-down."""
+        n = len(f_layers[0])
+        enc_layers = [fd.encode(spec, layer) for layer in f_layers]
+        tables: dict[int, dict] = {}
+        for m in [1 << i for i in range(1, _ilog2(n) + 1)]:
+            stride = n // m
+            t: dict = {}
+            s = enc_layers[0][::stride]
+            t["leaves"] = s
+
+            # extend matrices for this size (layers with d ≥ 2 only —
+            # the 2-wide layer is identity and never consulted)
+            mats = []
+            for li in range(_ilog2(m) - 1):
+                layer_pts = enc_layers[li][::stride]
+                rec, dec = _build_mats(
+                    spec, tuple(maps[li].denominator), layer_pts
+                )
+                # moiety selection: dec skip 1/0, rec skip 0/1 for S0/S1
+                # (fftree.rs:87-91,108-112)
+                mats.append((dec[1::2], dec[0::2], rec[0::2], rec[1::2]))
+            t["mats"] = mats
+
+            if m == 2:
+                # base cases (fftree.rs:399-403,454-458)
+                t["xnn_s"], t["xnn_s_inv"] = _xnn_step(spec, s, 1)
+                t["z0_s1"] = fd.sub(spec, s[1:2], s[0:1])
+                t["z1_s0"] = fd.sub(spec, s[0:1], s[1:2])
+                t["z0_inv_s1"] = fd.inv(spec, t["z0_s1"])
+                t["z1_inv_s0"] = fd.inv(spec, t["z1_s0"])
+                sq = fd.square(spec, s)
+                t["z0z0_rem_xnn_s"] = jnp.broadcast_to(sq[0:1], sq.shape)
+                t["z1z1_rem_xnn_s"] = jnp.broadcast_to(sq[1:2], sq.shape)
+            else:
+                vt_prev = {
+                    k: {"mats": tables[k]["mats"], "z0_s1": tables[k]["z0_s1"]}
+                    for k in tables
+                }
+                t.update(
+                    _z_step(
+                        spec, mats, s, tables[m // 2], vt_prev,
+                        tables[2]["leaves"],
+                    )
+                )
+
+            tables[m] = t
+        return cls(spec, n, tables, f_layers=f_layers, maps=list(maps))
+
+    # ------------------------------------------------------------ helpers
+
+    def encode(self, values):
+        return fd.encode(self.spec, values)
+
+    def decode(self, arr):
+        return fd.decode(self.spec, arr)
+
+    def eval_domain(self, size: int | None = None) -> np.ndarray:
+        """Leaf domain of the size-``size`` (sub)tree, as python ints
+        (fftree.rs:502-504)."""
+        size = size or self.n
+        return fd.decode(self.spec, self.tables[size]["leaves"])
+
+    def _size_check(self, m: int):
+        if m & (m - 1):
+            raise ValueError("input size must be a power of two")
+        if m > self.n:
+            raise ValueError("FFTree is too small")
+
+    def _subtables(self, key: str, up_to: int) -> dict:
+        return {
+            k: {kk: self.tables[k][kk] for kk in key.split()}
+            for k in self.tables
+            if k <= up_to
+        }
+
+    # ---------------------------------------------------------- algorithms
+
+    def extend(self, evals, moiety: int = S1):
+        """⟨P ≀ moiety⟩ from ⟨P ≀ other moiety⟩, deg P < m
+        (fftree.rs:123-126)."""
+        m = evals.shape[-2]
+        self._size_check(m * 2)
+        return _extend_jit(self.spec, self.tables[m * 2]["mats"], evals, moiety)
+
+    def mextend(self, evals, moiety: int = S1):
+        """EXTEND for monic polys of degree exactly m (fftree.rs:138-141)."""
+        m = evals.shape[-2]
+        self._size_check(m * 2)
+        t = self.tables[m * 2]
+        z = t["z0_s1"] if moiety == S1 else t["z1_s0"]
+        return _mextend_jit(self.spec, t["mats"], z, evals, moiety)
+
+    def enter(self, coeffs):
+        """Coefficients → evaluations (fftree.rs:164-167)."""
+        n = coeffs.shape[-2]
+        self._size_check(n)
+        mats = {k: self.tables[k]["mats"] for k in self.tables if k <= n}
+        xnn = {k: self.tables[k]["xnn_s"] for k in self.tables if k <= n}
+        return _enter_jit(self.spec, mats, xnn, coeffs)
+
+    def exit(self, evals):
+        """Evaluations → coefficients (fftree.rs:227-230)."""
+        n = evals.shape[-2]
+        self._size_check(n)
+        t = self._subtables(
+            "mats xnn_s xnn_s_inv z0_inv_s1 z0z0_rem_xnn_s", n
+        )
+        return _exit_jit(self.spec, t, evals)
+
+    def degree(self, evals):
+        """Degree of the interpolant, batched int32 (fftree.rs:195-198)."""
+        n = evals.shape[-2]
+        self._size_check(n)
+        t = self._subtables("mats z0_inv_s1", n)
+        return _degree_jit(self.spec, t, evals)
+
+    def redc_z0(self, evals, a):
+        """⟨P·Z₀⁻¹ mod a ≀ S⟩ for an arbitrary modulus table ``a``
+        (fftree.rs:264-267). Fermat-inverts a's even entries on device."""
+        return self._redc(evals, a, S0)
+
+    def redc_z1(self, evals, a):
+        """⟨P·Z₁⁻¹ mod A ≀ S⟩ (fftree.rs:272-275)."""
+        return self._redc(evals, a, S1)
+
+    def _redc(self, evals, a, moiety):
+        m = evals.shape[-2]
+        self._size_check(m)
+        t = self.tables[m]
+        z_inv = t["z0_inv_s1"] if moiety == S0 else t["z1_inv_s0"]
+        return _redc_jit(self.spec, t["mats"], z_inv, evals, a, moiety)
+
+    def modular_reduce(self, evals, a, c):
+        """MOD: remainder of P by ``a`` given c = ⟨Z₀² mod a ≀ S⟩
+        (fftree.rs:286-289)."""
+        m = evals.shape[-2]
+        self._size_check(m)
+        t = self.tables[m]
+        return _mod_jit(self.spec, t["mats"], t["z0_inv_s1"], evals, a, c)
+
+    def vanish(self, points):
+        """⟨Z ≀ S⟩ for Z(x) = Π (x − aᵢ) (fftree.rs:313-316)."""
+        v = points.shape[-2]
+        self._size_check(v * 2)
+        t = self._subtables("mats z0_s1", v * 2)
+        return _vanish_jit(self.spec, t, self.tables[2]["leaves"], points)
+
+
+# ---------------------------------------------------------------- jit wraps
+
+_extend_jit = jax.jit(ops.extend, static_argnums=(0, 3))
+_mextend_jit = jax.jit(ops.mextend, static_argnums=(0, 4))
+_enter_jit = jax.jit(ops.enter, static_argnums=(0,))
+_exit_jit = jax.jit(ops.exit_, static_argnums=(0,))
+_degree_jit = jax.jit(ops.degree, static_argnums=(0,))
+_vanish_jit = jax.jit(ops.vanish, static_argnums=(0,))
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _redc_jit(spec, mats, z_inv, evals, a, moiety):
+    a0_inv = fd.inv(spec, a[0::2])
+    return ops.redc(spec, mats, z_inv, evals, a[1::2], a0_inv, moiety)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _mod_jit(spec, mats, z0_inv_s1, evals, a, c):
+    a0_inv = fd.inv(spec, a[0::2])
+    return ops.modular_reduce(spec, mats, z0_inv_s1, evals, a[1::2], a0_inv, c)
+
+
+def build_fftree(field: str, n: int) -> FFTree | None:
+    """Module-level convenience mirroring ``FftreeField::build_fftree``
+    (lib.rs:14-16)."""
+    return FFTree.build(field, n)

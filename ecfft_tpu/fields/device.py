@@ -367,7 +367,12 @@ def mat2_apply(spec: FieldSpec, m, v0, v1):
     ``m`` has shape (..., 2, 2, L), ``v0``/``v1`` shape (..., L). Returns
     (m00·v0 + m01·v1, m10·v0 + m11·v1) — the inner loop of EXTEND
     (/root/reference/src/fftree.rs:83-118 matrix sweeps).
+
+    One stacked mul + one stacked add (rather than 4 + 2): fewer, larger
+    tensor ops — the XLA-friendly way to keep both compile time and
+    kernel-launch overhead down at identical FLOPs.
     """
-    r0 = add(spec, mul(spec, m[..., 0, 0, :], v0), mul(spec, m[..., 0, 1, :], v1))
-    r1 = add(spec, mul(spec, m[..., 1, 0, :], v0), mul(spec, m[..., 1, 1, :], v1))
-    return r0, r1
+    v = jnp.stack([v0, v1], axis=-2)[..., None, :, :]  # (..., 1, 2, L)
+    prods = mul(spec, m, v)  # (..., 2, 2, L)
+    r = add(spec, prods[..., 0, :], prods[..., 1, :])  # (..., 2, L)
+    return r[..., 0, :], r[..., 1, :]
