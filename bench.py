@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""ecfft-tpu benchmark: batched ENTER throughput on one chip.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "polys/sec", "vs_baseline": N}
+
+Workload (BASELINE.md target, env-overridable):
+  field=secp256k1, n=2^14, batch=64 — batched coefficient->evaluation
+  transform (the reference's `enter`, benches/fftree.rs:28-31 scaled up).
+
+vs_baseline compares against a MEASURED single-core run of the same
+workload on the native C++ engine (native/ecfft_native.cpp — arkworks-
+class 4×64 Montgomery arithmetic, the same backend family as the Rust
+reference, which itself publishes no numbers; see BASELINE.md). The
+native timing is measured once and cached alongside the tree.
+
+Tree construction runs through the native builder and is cached as an
+.npz next to this file (first run builds; later runs load) so the
+measured region is the transform itself.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+
+
+FIELD = os.environ.get("ECFFT_BENCH_FIELD", "secp256k1")
+N = int(os.environ.get("ECFFT_BENCH_N", str(1 << 14)))
+BATCH = int(os.environ.get("ECFFT_BENCH_BATCH", "64"))
+REPS = int(os.environ.get("ECFFT_BENCH_REPS", "3"))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import numpy as np
+
+    import ecfft_tpu as ec
+    from ecfft_tpu.serialize_native import load_tables_npz, save_tables_npz
+
+    log(f"bench: field={FIELD} n={N} batch={BATCH} on {jax.devices()[0]}")
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, f".bench_tree_{FIELD}_{N}.npz")
+    base_cache = os.path.join(here, f".bench_base_{FIELD}_{N}.json")
+    if os.path.exists(cache) and os.path.exists(base_cache):
+        log("loading cached tree", cache)
+        tree = load_tables_npz(cache)
+        with open(base_cache) as f:
+            native_enter_s = json.load(f)["native_enter_s"]
+    else:
+        from ecfft_tpu.native import NativeFFTree, build_fftree_native
+
+        log("building tree via native engine (one-time)...")
+        t0 = time.time()
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            tree = build_fftree_native(FIELD, N)
+        log(f"tree built in {time.time()-t0:.1f}s")
+        save_tables_npz(tree, cache)
+        # measure the single-core native baseline on the same workload
+        log("measuring native single-core ENTER baseline...")
+        import random as _r
+
+        nt = NativeFFTree(FIELD, N)
+        rng_ = _r.Random(1)
+        cs = [rng_.randrange(ec.FIELDS[FIELD].p) for _ in range(N)]
+        t0 = time.time()
+        nt.enter(cs)
+        native_enter_s = time.time() - t0
+        with open(base_cache, "w") as f:
+            json.dump({"native_enter_s": native_enter_s}, f)
+        del nt
+    log(f"native single-core ENTER: {native_enter_s:.3f}s/poly")
+    tree.tables = jax.device_put(tree.tables, jax.devices()[0])
+
+    spec = ec.FIELDS[FIELD]
+    L = spec.num_limbs
+    rng = np.random.RandomState(1)
+    if L == 1:
+        coeffs = rng.randint(0, spec.p, size=(BATCH, N, 1)).astype(np.uint32)
+    else:
+        # uniform 16-bit limbs with a constrained top limb keeps values < p
+        top = spec.to_limbs(spec.p)[-1]
+        coeffs = rng.randint(0, 1 << 16, size=(BATCH, N, L)).astype(np.uint32)
+        coeffs[..., -1] = rng.randint(0, top, size=(BATCH, N))
+    coeffs = jax.device_put(coeffs, jax.devices()[0])
+
+    log("compiling enter...")
+    t0 = time.time()
+    out = tree.enter(coeffs)
+    out.block_until_ready()
+    log(f"first call (compile+run): {time.time()-t0:.1f}s")
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        out = tree.enter(coeffs)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    polys_per_sec = BATCH / best
+    base = 1.0 / native_enter_s
+    log(f"warm times: {[round(t, 4) for t in times]}; "
+        f"throughput {polys_per_sec:.2f} polys/s; native 1-core {base:.2f}")
+
+    print(json.dumps({
+        "metric": f"batched ENTER throughput, {FIELD}, n=2^{N.bit_length()-1}, "
+                  f"batch {BATCH}, 1 TPU chip",
+        "value": round(polys_per_sec, 3),
+        "unit": "polys/sec",
+        "vs_baseline": round(polys_per_sec / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,56 @@ def _build_mats(spec: FieldSpec, den_coeffs: tuple, layer_pts):
     return rec, dec
 
 
+def _tile_extend(spec: FieldSpec, mats, tree_size: int) -> dict:
+    """Pre-scatter the Lemma-3.2 matrices into per-position butterfly
+    coefficient tables for the compile-flat EXTEND (see ops.core.extend).
+
+    For flat position p at depth d (butterfly bit b, half = 2^b):
+      bit clear: out[p] = M[i',0,0]·x[p] + M[i',0,1]·x[p^half]  (row 0)
+      bit set:   out[p] = M[i',1,1]·x[p] + M[i',1,0]·x[p^half]  (row 1)
+    with i' = p & (half−1) the shared matrix index. Returns
+    {"shifts": (logm,), S0: (dec, rec), S1: (dec, rec)} with coeff arrays
+    (logm, m, 2, L).
+    """
+    import numpy as np
+
+    m = tree_size // 2
+    L = spec.num_limbs
+    logm = _ilog2(m)
+    out = {"shifts": jnp.asarray([m >> (d + 1) for d in range(logm)],
+                                 dtype=jnp.int32)}
+    for moiety in (S0, S1):
+        mkey = "s0" if moiety == S0 else "s1"
+        if logm == 0:
+            z = jnp.zeros((0, 1, 2, L), dtype=jnp.uint32)
+            out[mkey] = (z, z)
+            continue
+        dec_list, rec_list = [], []
+        for d in range(logm):
+            half = m >> (d + 1)
+            iota = np.arange(m)
+            bitv = jnp.asarray((iota & half) != 0)[:, None]
+            ipr = np.asarray(iota & (half - 1))
+            dec = mats[d][0 if moiety == S0 else 1]
+            rec = mats[d][2 if moiety == S0 else 3]
+            for src, acc in ((dec, dec_list), (rec, rec_list)):
+                sel = jnp.take(src, ipr, axis=0)  # (m, 2, 2, L)
+                c_self = jnp.where(bitv, sel[:, 1, 1, :], sel[:, 0, 0, :])
+                c_part = jnp.where(bitv, sel[:, 1, 0, :], sel[:, 0, 1, :])
+                acc.append(jnp.stack([c_self, c_part], axis=1))
+        out[mkey] = (jnp.stack(dec_list), jnp.stack(rec_list))
+    return out
+
+
+def finalize_tables(spec: FieldSpec, tables: dict) -> dict:
+    """Derive the compile-flat extend tables from the serialized matrix
+    form for every size (used after deserialization)."""
+    for m, t in tables.items():
+        if "ext" not in t:
+            t["ext"] = _tile_extend(spec, t["mats"], m)
+    return tables
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def _xnn_step(spec: FieldSpec, s, half: int):
     xnn = fd.pow_int(spec, s, half)
@@ -101,7 +151,7 @@ def _xnn_step(spec: FieldSpec, s, half: int):
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _z_step(spec: FieldSpec, mats, s, st, vt_prev, leaves2):
+def _z_step(spec: FieldSpec, ext, s, st, vt_prev, leaves2):
     """One size's z-table bootstrap, fully on device (fftree.rs:384-460).
 
     ``st`` = the half-size tables, ``vt_prev`` = {size: {mats, z0_s1}} for
@@ -112,12 +162,12 @@ def _z_step(spec: FieldSpec, mats, s, st, vt_prev, leaves2):
     zeros_half = jnp.zeros_like(st["z0_s1"])
     st_z0_s0 = _interleave(zeros_half, st["z0_s1"])
     st_z1_s0 = _interleave(st["z1_s0"], zeros_half)
-    st_z0_s1 = ops.extend(spec, mats, st_z0_s0, S1)
-    st_z1_s1 = ops.extend(spec, mats, st_z1_s0, S1)
+    st_z0_s1 = ops.extend(spec, ext, st_z0_s0, S1)
+    st_z1_s1 = ops.extend(spec, ext, st_z1_s0, S1)
     z0_s1 = fd.mul(spec, st_z0_s1, st_z1_s1)
 
     vt = dict(vt_prev)
-    vt[m] = {"mats": mats, "z0_s1": z0_s1}
+    vt[m] = {"ext": ext, "z0_s1": z0_s1}
     z1_s = ops.vanish(spec, vt, leaves2, s[1::2])
     z1_s0 = z1_s[0::2]
 
@@ -129,14 +179,14 @@ def _z_step(spec: FieldSpec, mats, s, st, vt_prev, leaves2):
     sq_s0 = fd.mul(spec, st["z0z0_rem_xnn_s"], st["z1z1_rem_xnn_s"])
     rem_s0 = ops.modular_reduce(
         spec,
-        st["mats"],
+        st["ext"],
         st["z0_inv_s1"],
         sq_s0,
         st["xnn_s"][1::2],
         st["xnn_s_inv"][0::2],
         st["z0z0_rem_xnn_s"],
     )
-    rem_s1 = ops.extend(spec, mats, rem_s0, S1)
+    rem_s1 = ops.extend(spec, ext, rem_s0, S1)
     z0z0_rem_xnnnn_s = _interleave(rem_s0, rem_s1)
     z0_s = _interleave(jnp.zeros_like(z0_s1), z0_s1)
     z0_rem_xnn_sq_s = fd.square(spec, fd.sub(spec, z0_s, xnn_s))
@@ -145,7 +195,7 @@ def _z_step(spec: FieldSpec, mats, s, st, vt_prev, leaves2):
     )
     hi_rem = ops.modular_reduce(
         spec,
-        mats,
+        ext,
         z0_inv_s1,
         hi,
         xnnnn_s[1::2],
@@ -159,7 +209,7 @@ def _z_step(spec: FieldSpec, mats, s, st, vt_prev, leaves2):
     z1z1 = fd.square(spec, fd.sub(spec, z1_s, xnn_s))
     z1z1_rem_xnn_s = ops.modular_reduce(
         spec,
-        mats,
+        ext,
         z0_inv_s1,
         z1z1,
         xnn_s[1::2],
@@ -243,6 +293,7 @@ class FFTree:
                 # (fftree.rs:87-91,108-112)
                 mats.append((dec[1::2], dec[0::2], rec[0::2], rec[1::2]))
             t["mats"] = mats
+            t["ext"] = _tile_extend(spec, mats, m)
 
             if m == 2:
                 # base cases (fftree.rs:399-403,454-458)
@@ -256,12 +307,12 @@ class FFTree:
                 t["z1z1_rem_xnn_s"] = jnp.broadcast_to(sq[1:2], sq.shape)
             else:
                 vt_prev = {
-                    k: {"mats": tables[k]["mats"], "z0_s1": tables[k]["z0_s1"]}
+                    k: {"ext": tables[k]["ext"], "z0_s1": tables[k]["z0_s1"]}
                     for k in tables
                 }
                 t.update(
                     _z_step(
-                        spec, mats, s, tables[m // 2], vt_prev,
+                        spec, t["ext"], s, tables[m // 2], vt_prev,
                         tables[2]["leaves"],
                     )
                 )
@@ -303,7 +354,7 @@ class FFTree:
         (fftree.rs:123-126)."""
         m = evals.shape[-2]
         self._size_check(m * 2)
-        return _extend_jit(self.spec, self.tables[m * 2]["mats"], evals, moiety)
+        return _extend_jit(self.spec, self.tables[m * 2]["ext"], evals, moiety)
 
     def mextend(self, evals, moiety: int = S1):
         """EXTEND for monic polys of degree exactly m (fftree.rs:138-141)."""
@@ -311,22 +362,22 @@ class FFTree:
         self._size_check(m * 2)
         t = self.tables[m * 2]
         z = t["z0_s1"] if moiety == S1 else t["z1_s0"]
-        return _mextend_jit(self.spec, t["mats"], z, evals, moiety)
+        return _mextend_jit(self.spec, t["ext"], z, evals, moiety)
 
     def enter(self, coeffs):
         """Coefficients → evaluations (fftree.rs:164-167)."""
         n = coeffs.shape[-2]
         self._size_check(n)
-        mats = {k: self.tables[k]["mats"] for k in self.tables if k <= n}
+        ext = {k: self.tables[k]["ext"] for k in self.tables if k <= n}
         xnn = {k: self.tables[k]["xnn_s"] for k in self.tables if k <= n}
-        return _enter_jit(self.spec, mats, xnn, coeffs)
+        return _enter_jit(self.spec, ext, xnn, coeffs)
 
     def exit(self, evals):
         """Evaluations → coefficients (fftree.rs:227-230)."""
         n = evals.shape[-2]
         self._size_check(n)
         t = self._subtables(
-            "mats xnn_s xnn_s_inv z0_inv_s1 z0z0_rem_xnn_s", n
+            "ext xnn_s xnn_s_inv z0_inv_s1 z0z0_rem_xnn_s", n
         )
         return _exit_jit(self.spec, t, evals)
 
@@ -334,7 +385,7 @@ class FFTree:
         """Degree of the interpolant, batched int32 (fftree.rs:195-198)."""
         n = evals.shape[-2]
         self._size_check(n)
-        t = self._subtables("mats z0_inv_s1", n)
+        t = self._subtables("ext z0_inv_s1", n)
         return _degree_jit(self.spec, t, evals)
 
     def redc_z0(self, evals, a):
@@ -351,7 +402,7 @@ class FFTree:
         self._size_check(m)
         t = self.tables[m]
         z_inv = t["z0_inv_s1"] if moiety == S0 else t["z1_inv_s0"]
-        return _redc_jit(self.spec, t["mats"], z_inv, evals, a, moiety)
+        return _redc_jit(self.spec, t["ext"], z_inv, evals, a, moiety)
 
     def modular_reduce(self, evals, a, c):
         """MOD: remainder of P by ``a`` given c = ⟨Z₀² mod a ≀ S⟩
@@ -359,13 +410,13 @@ class FFTree:
         m = evals.shape[-2]
         self._size_check(m)
         t = self.tables[m]
-        return _mod_jit(self.spec, t["mats"], t["z0_inv_s1"], evals, a, c)
+        return _mod_jit(self.spec, t["ext"], t["z0_inv_s1"], evals, a, c)
 
     def vanish(self, points):
         """⟨Z ≀ S⟩ for Z(x) = Π (x − aᵢ) (fftree.rs:313-316)."""
         v = points.shape[-2]
         self._size_check(v * 2)
-        t = self._subtables("mats z0_s1", v * 2)
+        t = self._subtables("ext z0_s1", v * 2)
         return _vanish_jit(self.spec, t, self.tables[2]["leaves"], points)
 
 
@@ -380,15 +431,15 @@ _vanish_jit = jax.jit(ops.vanish, static_argnums=(0,))
 
 
 @partial(jax.jit, static_argnums=(0, 5))
-def _redc_jit(spec, mats, z_inv, evals, a, moiety):
+def _redc_jit(spec, ext, z_inv, evals, a, moiety):
     a0_inv = fd.inv(spec, a[0::2])
-    return ops.redc(spec, mats, z_inv, evals, a[1::2], a0_inv, moiety)
+    return ops.redc(spec, ext, z_inv, evals, a[1::2], a0_inv, moiety)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _mod_jit(spec, mats, z0_inv_s1, evals, a, c):
+def _mod_jit(spec, ext, z0_inv_s1, evals, a, c):
     a0_inv = fd.inv(spec, a[0::2])
-    return ops.modular_reduce(spec, mats, z0_inv_s1, evals, a[1::2], a0_inv, c)
+    return ops.modular_reduce(spec, ext, z0_inv_s1, evals, a[1::2], a0_inv, c)
 
 
 def build_fftree(field: str, n: int) -> FFTree | None:

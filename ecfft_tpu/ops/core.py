@@ -29,6 +29,7 @@ Conventions:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ecfft_tpu.fields import device as fd
@@ -42,45 +43,55 @@ def _ilog2(n: int) -> int:
     return n.bit_length() - 1
 
 
-def extend(spec: FieldSpec, mats, evals, moiety: int):
+def extend(spec: FieldSpec, ext, evals, moiety: int):
     """EXTEND: evals on one moiety of a size-2m domain → the other moiety.
 
-    ``mats`` is the per-depth matrix list for tree size 2m:
-    mats[d] = (dec_s0, dec_s1, rec_s0, rec_s1), where dec/rec_sX is the
-    (m/2^{d+1}, 2, 2, L) selection for moiety X. Input (..., m, L).
+    The reference's recursion (fftree.rs:72-120) is a radix-2 butterfly
+    network. Flattening the (subproblem, offset) state to one position
+    axis shows that depth d pairs exactly the positions differing in bit
+    b = log2(m)−1−d, and both butterfly outputs land back on the pair's
+    own positions. So each level is ONE branch-free tensor statement:
 
-    Down sweep applies decompose matrices to pairs (i, i+k/2) — the
-    reference's skip/step_by matrix walk (fftree.rs:83-97) becomes a
-    half-split of the position axis. Up sweep mirrors with recombine
-    matrices (fftree.rs:104-118). All 2^d subproblems at depth d share
-    matrices, so each level is one broadcast mat-vec.
+        out[p] = c_self[d,p]·x[p] + c_partner[d,p]·x[p XOR 2^b]
+
+    with the 2×2 matrix entries pre-scattered into per-position
+    coefficient tables c (see fftree._tile_extend). The whole algorithm
+    is two ``lax.scan``s (down over decompose coeffs, up over recombine
+    coeffs) — a CONSTANT-size trace regardless of m, which keeps XLA
+    compile time flat while the reference-shaped unrolled version grows
+    O(log² n) and chokes the compiler at STARK sizes.
+
+    ``ext`` is the per-tree-size table: {"shifts": (logm,) int32,
+    "s0"/"s1": (dec_coeffs, rec_coeffs)} with coeff arrays of shape
+    (logm, m, 2, L). Input (..., m, L).
     """
     m = evals.shape[-2]
-    levels = _ilog2(m)
-    x = evals[..., None, :, :]  # (..., 1, m, L): subproblem axis
-    for d in range(levels):
-        k = m >> d
-        dec = mats[d][0] if moiety == S0 else mats[d][1]
-        a = x[..., :, : k // 2, :]
-        b = x[..., :, k // 2 :, :]
-        e0, e1 = fd.mat2_apply(spec, dec, a, b)  # (..., 2^d, k/2, L)
-        x = jnp.stack([e0, e1], axis=-3)  # (..., 2^d, 2, k/2, L)
-        x = x.reshape(*x.shape[:-4], (2 << d), k // 2, x.shape[-1])
-    for d in reversed(range(levels)):
-        k = m >> d
-        rec = mats[d][2] if moiety == S0 else mats[d][3]
-        u = x[..., 0::2, :, :]  # extended evals0' per subproblem
-        v = x[..., 1::2, :, :]
-        r0, r1 = fd.mat2_apply(spec, rec, u, v)
-        x = jnp.concatenate([r0, r1], axis=-2)  # (..., 2^d, k, L)
-    return x[..., 0, :, :]
+    if m == 1:
+        return evals
+    dec_c, rec_c = ext["s0" if moiety == S0 else "s1"]
+    shifts = ext["shifts"]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)
+
+    def body(x, inp):
+        coeff, half = inp
+        partner = jnp.take(x, iota ^ half, axis=-2)
+        out = fd.add(
+            spec,
+            fd.mul(spec, coeff[:, 0], x),
+            fd.mul(spec, coeff[:, 1], partner),
+        )
+        return out, None
+
+    x, _ = jax.lax.scan(body, evals, (dec_c, shifts))
+    x, _ = jax.lax.scan(body, x, (rec_c[::-1], shifts[::-1]))
+    return x
 
 
-def mextend(spec: FieldSpec, mats, z_table, evals, moiety: int):
+def mextend(spec: FieldSpec, ext, z_table, evals, moiety: int):
     """MEXTEND: EXTEND for monic polynomials of degree exactly m
     (fftree.rs:128-141) — extend then add the vanishing table
     (z0_s1 for an S1 target, z1_s0 for S0)."""
-    return fd.add(spec, extend(spec, mats, evals, moiety), z_table)
+    return fd.add(spec, extend(spec, ext, evals, moiety), z_table)
 
 
 def _interleave(a, b):
@@ -89,7 +100,7 @@ def _interleave(a, b):
     return x.reshape(*a.shape[:-2], a.shape[-2] * 2, a.shape[-1])
 
 
-def enter(spec: FieldSpec, mats_by_size, xnn_by_size, coeffs):
+def enter(spec: FieldSpec, ext_by_size, xnn_by_size, coeffs):
     """ENTER (fft): coefficients → evaluations, O(n log² n)
     (fftree.rs:143-167).
 
@@ -99,7 +110,7 @@ def enter(spec: FieldSpec, mats_by_size, xnn_by_size, coeffs):
     at a level share one tree size, so the whole level is a single batched
     EXTEND + butterfly combine.
 
-    ``mats_by_size[k]``/``xnn_by_size[k]`` are the tables of tree size k.
+    ``ext_by_size[k]``/``xnn_by_size[k]`` are the tables of tree size k.
     """
     n = coeffs.shape[-2]
     x = coeffs[..., :, None, :]  # (..., n blocks, 1, L)
@@ -108,8 +119,8 @@ def enter(spec: FieldSpec, mats_by_size, xnn_by_size, coeffs):
         size *= 2
         u0 = x[..., 0::2, :, :]  # (..., nb, size/2, L): low-half coeffs
         v0 = x[..., 1::2, :, :]
-        u1 = extend(spec, mats_by_size[size], u0, S1)
-        v1 = extend(spec, mats_by_size[size], v0, S1)
+        u1 = extend(spec, ext_by_size[size], u0, S1)
+        v1 = extend(spec, ext_by_size[size], v0, S1)
         xnn = xnn_by_size[size]  # (size, L)
         even = fd.add(spec, u0, fd.mul(spec, v0, xnn[0::2]))
         odd = fd.add(spec, u1, fd.mul(spec, v1, xnn[1::2]))
@@ -117,7 +128,7 @@ def enter(spec: FieldSpec, mats_by_size, xnn_by_size, coeffs):
     return x[..., 0, :, :]
 
 
-def redc(spec: FieldSpec, mats, z_inv, evals, a1, a0_inv, moiety: int):
+def redc(spec: FieldSpec, ext, z_inv, evals, a1, a0_inv, moiety: int):
     """REDC: ⟨P·Z⁻¹ mod a ≀ S⟩, O(n log n) (fftree.rs:232-259).
 
     ``a1`` = odd-position values of the modulus table, ``a0_inv`` =
@@ -129,18 +140,18 @@ def redc(spec: FieldSpec, mats, z_inv, evals, a1, a0_inv, moiety: int):
     e0 = evals[..., 0::2, :]
     e1 = evals[..., 1::2, :]
     t0 = fd.mul(spec, e0, a0_inv)
-    g1 = extend(spec, mats, t0, S0 if moiety == S1 else S1)
+    g1 = extend(spec, ext, t0, S0 if moiety == S1 else S1)
     h1 = fd.mul(spec, fd.sub(spec, e1, fd.mul(spec, g1, a1)), z_inv)
-    h0 = extend(spec, mats, h1, moiety)
+    h0 = extend(spec, ext, h1, moiety)
     return _interleave(h0, h1)
 
 
-def modular_reduce(spec: FieldSpec, mats, z0_inv_s1, evals, a1, a0_inv, c):
+def modular_reduce(spec: FieldSpec, ext, z0_inv_s1, evals, a1, a0_inv, c):
     """MOD = REDC ∘ (·c) ∘ REDC (fftree.rs:277-289); ``c`` is
     ⟨Z₀² mod a ≀ S⟩."""
-    h = redc(spec, mats, z0_inv_s1, evals, a1, a0_inv, S0)
+    h = redc(spec, ext, z0_inv_s1, evals, a1, a0_inv, S0)
     hc = fd.mul(spec, h, c)
-    return redc(spec, mats, z0_inv_s1, hc, a1, a0_inv, S0)
+    return redc(spec, ext, z0_inv_s1, hc, a1, a0_inv, S0)
 
 
 def exit_(spec: FieldSpec, tables, evals):
@@ -152,7 +163,7 @@ def exit_(spec: FieldSpec, tables, evals):
     half-blocks recurse in place; after log n levels the state *is* the
     coefficient vector (depth-first left-right = coefficient order).
 
-    ``tables[k]`` = dict with mats, xnn_s, xnn_s_inv, z0_inv_s1,
+    ``tables[k]`` = dict with ext, xnn_s, xnn_s_inv, z0_inv_s1,
     z0z0_rem_xnn_s for tree size k.
     """
     n = evals.shape[-2]
@@ -163,7 +174,7 @@ def exit_(spec: FieldSpec, tables, evals):
         xnn = t["xnn_s"]
         u = modular_reduce(
             spec,
-            t["mats"],
+            t["ext"],
             t["z0_inv_s1"],
             x,
             xnn[1::2],
@@ -199,10 +210,10 @@ def degree(spec: FieldSpec, tables, evals):
         t = tables[k]
         e0 = x[..., 0::2, :]
         e1 = x[..., 1::2, :]
-        g1 = extend(spec, t["mats"], e0, S1)
+        g1 = extend(spec, t["ext"], e0, S1)
         low = jnp.all(fd.eq(spec, g1, e1), axis=-1)  # (...)
         t1 = fd.mul(spec, fd.sub(spec, e1, g1), t["z0_inv_s1"])
-        t0 = extend(spec, t["mats"], t1, S0)
+        t0 = extend(spec, t["ext"], t1, S0)
         x = jnp.where(low[..., None, None], e0, t0)
         res = res + jnp.where(low, 0, k // 2).astype(jnp.int32)
         k //= 2
@@ -220,7 +231,7 @@ def vanish(spec: FieldSpec, tables, leaves2, points):
     [α − l₀, α − l₁] (fftree.rs:293-298).
 
     ``leaves2`` = the 2-leaf subtree's domain, shape (2, L).
-    ``tables[k]`` = dict with mats + z0_s1 for tree size k.
+    ``tables[k]`` = dict with ext + z0_s1 for tree size k.
     """
     v = points.shape[-2]
     x = fd.sub(spec, points[..., :, None, :], leaves2)  # (..., v, 2, L)
@@ -229,6 +240,6 @@ def vanish(spec: FieldSpec, tables, leaves2, points):
         size *= 2
         q_s0 = fd.mul(spec, x[..., 0::2, :, :], x[..., 1::2, :, :])
         t = tables[size]
-        q_s1 = mextend(spec, t["mats"], t["z0_s1"], q_s0, S1)
+        q_s1 = mextend(spec, t["ext"], t["z0_s1"], q_s0, S1)
         x = _interleave(q_s0, q_s1)
     return x[..., 0, :, :]

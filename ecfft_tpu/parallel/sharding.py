@@ -1,0 +1,97 @@
+"""Multi-chip execution: batch sharding over a device mesh.
+
+The reference is single-threaded/single-process (SURVEY.md §2: zero
+NCCL/MPI/rayon in the library), so this is green-field TPU design. The
+natural scaling axis for ECFFT workloads (STARK trace low-degree
+extension) is the *batch* of polynomials:
+
+- the FFTree tables are replicated on every chip (they are read-only
+  precomputation, O(n) bytes);
+- the polynomial batch dim is sharded across the mesh;
+- because every algorithm here is batch-parallel (no cross-polynomial
+  terms anywhere in fftree.rs:72-316), the SPMD partitioner inserts
+  **zero collectives** — scaling is embarrassingly parallel over ICI and
+  each chip runs the identical butterfly program on its shard.
+
+Sharding the *n* (domain) axis is intentionally not done: EXTEND's
+butterfly pairs positions (i, i+k/2) at every level, which would force an
+all-to-all per level. For tree sizes that fit HBM (n ≤ 2^24 even for
+secp256k1), batch sharding is strictly better. A ring-exchange n-sharded
+variant is future work for n beyond HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over the given (or all) devices, batch axis only."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Place every FFTree table replicated on all mesh devices."""
+    repl = NamedSharding(mesh, P())
+    tree.tables = jax.device_put(tree.tables, repl)
+    return tree
+
+
+def shard_batch(mesh: Mesh, arr):
+    """Shard an (..., n, L) input batch along its leading axis."""
+    spec = P(BATCH_AXIS, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+class ShardedFFTree:
+    """An FFTree executing across a device mesh, batch-sharded.
+
+    Usage::
+
+        mesh = make_mesh()
+        stree = ShardedFFTree(tree, mesh)
+        evals = stree.enter(coeffs)       # batch dim split across chips
+
+    Methods mirror :class:`ecfft_tpu.fftree.FFTree`; inputs may be numpy
+    or device arrays — they are sharded on entry, and outputs come back
+    with the same batch sharding (no gather; compose further sharded ops
+    freely).
+    """
+
+    def __init__(self, tree, mesh: Mesh | None = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tree = replicate_tree(tree, self.mesh)
+
+    def _call(self, method, arr, *args):
+        return method(shard_batch(self.mesh, arr), *args)
+
+    def enter(self, coeffs):
+        return self._call(self.tree.enter, coeffs)
+
+    def exit(self, evals):
+        return self._call(self.tree.exit, evals)
+
+    def extend(self, evals, moiety):
+        return self._call(self.tree.extend, evals, moiety)
+
+    def mextend(self, evals, moiety):
+        return self._call(self.tree.mextend, evals, moiety)
+
+    def degree(self, evals):
+        return self._call(self.tree.degree, evals)
+
+    def vanish(self, points):
+        return self._call(self.tree.vanish, points)
+
+    def encode(self, values):
+        return self.tree.encode(values)
+
+    def decode(self, arr):
+        return self.tree.decode(arr)

@@ -291,6 +291,9 @@ def deserialize_fftree(field: str | FieldSpec, data: bytes, compress: bool = Tru
             t[k] = fd.encode(spec, v)
         tables[m] = t
 
+    from ecfft_tpu.fftree import finalize_tables
+
+    finalize_tables(spec, tables)
     tree = FFTree(spec, n, tables)
     tree.f_layers = top.f_layers
     tree.maps = [

@@ -1,0 +1,888 @@
+// ecfft-tpu native runtime: single-core C++ ECFFT engine.
+//
+// Role in the framework (SURVEY.md §2: the reference is a Rust/arkworks
+// crate; our compute path is JAX/XLA on TPU, and this module is the
+// native host runtime around it):
+//   1. independent correctness oracle for the device path at sizes the
+//      pure-python oracle can't reach,
+//   2. the measured "single-core Montgomery-backend" baseline that
+//      bench.py's vs_baseline compares against (arkworks-class 4x64
+//      Montgomery multiplication via __uint128_t),
+//   3. fast host-side FFTree construction for large n (the O(n log^3 n)
+//      bootstrap) feeding precomputed tables to the TPU,
+//   4. ark-serialize-compatible byte emission for interop checks.
+//
+// Architecture mirrors the *TPU* design, not the reference's: per-size
+// flat tables (no boxed subtree chain) and iterative butterfly loops
+// (see ecfft_tpu/ops/core.py). Semantics match /root/reference/src/
+// fftree.rs:72-316 (cited per function).
+//
+// Field elements cross the C boundary as 32-byte little-endian canonical
+// integers; internally everything is 4x64-limb Montgomery form with
+// R = 2^256 (matching arkworks' Fp256<MontBackend<_,4>>, lib.rs:37).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <string>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+typedef uint32_t u32;
+typedef uint8_t u8;
+
+namespace {
+
+constexpr int NL = 4;  // 4 x 64-bit limbs
+
+struct Fe {
+  u64 v[NL];
+};
+
+struct FieldCtx {
+  Fe p;        // modulus
+  Fe r2;       // R^2 mod p
+  Fe one_m;    // R mod p (montgomery 1)
+  u64 inv;     // -p^{-1} mod 2^64
+  Fe p_minus_2;  // exponent for fermat inversion
+};
+
+static inline bool fe_eq(const Fe &a, const Fe &b) {
+  return std::memcmp(a.v, b.v, sizeof(Fe)) == 0;
+}
+
+static inline bool fe_is_zero(const Fe &a) {
+  return (a.v[0] | a.v[1] | a.v[2] | a.v[3]) == 0;
+}
+
+static inline int fe_cmp(const Fe &a, const Fe &b) {
+  for (int i = NL - 1; i >= 0; --i) {
+    if (a.v[i] < b.v[i]) return -1;
+    if (a.v[i] > b.v[i]) return 1;
+  }
+  return 0;
+}
+
+static inline void fe_sub_raw(Fe &out, const Fe &a, const Fe &b) {
+  u128 borrow = 0;
+  for (int i = 0; i < NL; ++i) {
+    u128 t = (u128)a.v[i] - b.v[i] - borrow;
+    out.v[i] = (u64)t;
+    borrow = (t >> 64) & 1;
+  }
+}
+
+static inline u64 fe_add_raw(Fe &out, const Fe &a, const Fe &b) {
+  u128 carry = 0;
+  for (int i = 0; i < NL; ++i) {
+    u128 t = (u128)a.v[i] + b.v[i] + carry;
+    out.v[i] = (u64)t;
+    carry = t >> 64;
+  }
+  return (u64)carry;
+}
+
+static inline void fe_add(const FieldCtx &F, Fe &out, const Fe &a, const Fe &b) {
+  u64 carry = fe_add_raw(out, a, b);
+  if (carry || fe_cmp(out, F.p) >= 0) {
+    Fe t;
+    fe_sub_raw(t, out, F.p);
+    out = t;
+  }
+}
+
+static inline void fe_sub(const FieldCtx &F, Fe &out, const Fe &a, const Fe &b) {
+  if (fe_cmp(a, b) >= 0) {
+    fe_sub_raw(out, a, b);
+  } else {
+    Fe t;
+    fe_add_raw(t, a, F.p);
+    fe_sub_raw(out, t, b);
+  }
+}
+
+static inline void fe_neg(const FieldCtx &F, Fe &out, const Fe &a) {
+  if (fe_is_zero(a)) { out = a; return; }
+  fe_sub_raw(out, F.p, a);
+}
+
+// CIOS Montgomery multiplication: out = a*b*R^-1 mod p.
+static inline void fe_mul(const FieldCtx &F, Fe &out, const Fe &a, const Fe &b) {
+  u64 t[NL + 2] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < NL; ++i) {
+    // t += a[i] * b
+    u128 carry = 0;
+    for (int j = 0; j < NL; ++j) {
+      u128 cur = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+      t[j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    u128 cur = (u128)t[NL] + carry;
+    t[NL] = (u64)cur;
+    t[NL + 1] = (u64)(cur >> 64);
+    // montgomery step
+    u64 m = t[0] * F.inv;
+    carry = ((u128)t[0] + (u128)m * F.p.v[0]) >> 64;
+    for (int j = 1; j < NL; ++j) {
+      u128 c2 = (u128)t[j] + (u128)m * F.p.v[j] + carry;
+      t[j - 1] = (u64)c2;
+      carry = c2 >> 64;
+    }
+    cur = (u128)t[NL] + carry;
+    t[NL - 1] = (u64)cur;
+    t[NL] = t[NL + 1] + (u64)(cur >> 64);
+    t[NL + 1] = 0;
+  }
+  Fe r;
+  std::memcpy(r.v, t, sizeof(Fe));
+  if (t[NL] || fe_cmp(r, F.p) >= 0) {
+    Fe s;
+    fe_sub_raw(s, r, F.p);
+    r = s;
+  }
+  out = r;
+}
+
+static inline void fe_sqr(const FieldCtx &F, Fe &out, const Fe &a) {
+  fe_mul(F, out, a, a);
+}
+
+static void fe_pow(const FieldCtx &F, Fe &out, const Fe &base, const Fe &exp) {
+  Fe acc = base;
+  Fe res = F.one_m;
+  for (int i = 0; i < NL; ++i) {
+    u64 e = exp.v[i];
+    for (int b = 0; b < 64; ++b) {
+      if (e & 1) fe_mul(F, res, res, acc);
+      e >>= 1;
+      if (e == 0 && i == NL - 1) break;
+      fe_sqr(F, acc, acc);
+    }
+  }
+  out = res;
+}
+
+static void fe_pow_u64(const FieldCtx &F, Fe &out, const Fe &base, u64 e) {
+  Fe acc = base;
+  Fe res = F.one_m;
+  while (e) {
+    if (e & 1) fe_mul(F, res, res, acc);
+    e >>= 1;
+    if (e) fe_sqr(F, acc, acc);
+  }
+  out = res;
+}
+
+static inline void fe_inv(const FieldCtx &F, Fe &out, const Fe &a) {
+  if (fe_is_zero(a)) { out = a; return; }  // 0 -> 0 (batch_inversion semantics)
+  fe_pow(F, out, a, F.p_minus_2);
+}
+
+// batch inversion (Montgomery's trick) — single-core hot path uses this
+// like ark_ff::batch_inversion (fftree.rs:236)
+static void fe_batch_inv(const FieldCtx &F, Fe *vals, size_t n) {
+  std::vector<Fe> prefix(n + 1);
+  prefix[0] = F.one_m;
+  for (size_t i = 0; i < n; ++i) {
+    if (fe_is_zero(vals[i])) prefix[i + 1] = prefix[i];
+    else fe_mul(F, prefix[i + 1], prefix[i], vals[i]);
+  }
+  Fe acc;
+  fe_inv(F, acc, prefix[n]);
+  for (size_t i = n; i-- > 0;) {
+    if (fe_is_zero(vals[i])) continue;
+    Fe item = vals[i];
+    fe_mul(F, vals[i], acc, prefix[i]);
+    fe_mul(F, acc, acc, item);
+  }
+}
+
+static void ctx_init(FieldCtx &F, const u8 *p_le) {
+  std::memcpy(F.p.v, p_le, 32);
+  // inv = -p^-1 mod 2^64 via Newton iteration
+  u64 p0 = F.p.v[0];
+  u64 x = 1;
+  for (int i = 0; i < 6; ++i) x *= 2 - p0 * x;
+  F.inv = (u64)(0 - x);
+  // r = 2^256 mod p by repeated doubling of (2^255 mod p)... simpler:
+  // start with 1, double 256 times mod p
+  Fe r;
+  std::memset(r.v, 0, sizeof(Fe));
+  r.v[0] = 1;
+  for (int i = 0; i < 256; ++i) {
+    u64 carry = fe_add_raw(r, r, r);
+    if (carry || fe_cmp(r, F.p) >= 0) {
+      Fe t;
+      fe_sub_raw(t, r, F.p);
+      r = t;
+    }
+  }
+  F.one_m = r;
+  // r2 = r * r mod p: double one_m 256 more times
+  Fe r2 = r;
+  for (int i = 0; i < 256; ++i) {
+    u64 carry = fe_add_raw(r2, r2, r2);
+    if (carry || fe_cmp(r2, F.p) >= 0) {
+      Fe t;
+      fe_sub_raw(t, r2, F.p);
+      r2 = t;
+    }
+  }
+  F.r2 = r2;
+  Fe two;
+  std::memset(two.v, 0, sizeof(Fe));
+  two.v[0] = 2;
+  fe_sub_raw(F.p_minus_2, F.p, two);
+}
+
+static inline void to_mont(const FieldCtx &F, Fe &out, const Fe &a) {
+  fe_mul(F, out, a, F.r2);
+}
+
+static inline void from_mont(const FieldCtx &F, Fe &out, const Fe &a) {
+  Fe one;
+  std::memset(one.v, 0, sizeof(Fe));
+  one.v[0] = 1;
+  fe_mul(F, out, a, one);
+}
+
+// ---------------------------------------------------------------- tree
+
+struct RMap {
+  std::vector<Fe> num;  // montgomery-form coefficients, low-first
+  std::vector<Fe> den;
+};
+
+struct SizeTables {
+  // selected butterfly matrices per depth: [depth][pair],
+  // each entry 4 coefficients (2x2 row-major)
+  std::vector<std::vector<Fe>> dec_s0, dec_s1, rec_s0, rec_s1;
+  std::vector<Fe> leaves;
+  std::vector<Fe> xnn, xnn_inv, z0_s1, z1_s0, z0i_s1, z1i_s0, z00, z11;
+};
+
+struct Tree {
+  FieldCtx F;
+  u64 n;
+  std::vector<RMap> maps;
+  std::vector<std::vector<Fe>> f_layers;  // [layer][pos], layer 0 = leaves
+  // tables indexed by log2(size), sizes 2..n -> index 1..log2(n)
+  std::vector<SizeTables> tabs;
+
+  SizeTables &tab(u64 size) { return tabs[63 - __builtin_clzll(size)]; }
+};
+
+static int ilog2_u64(u64 x) { return 63 - __builtin_clzll(x); }
+
+// EXTEND, iterative butterfly (semantics: fftree.rs:72-126; shape: the
+// flat formulation of ecfft_tpu/ops/core.py::extend). moiety 1 = "input
+// on S0, output on S1".
+static void tree_extend(Tree &T, u64 tree_size, const Fe *in, Fe *out,
+                        int moiety) {
+  u64 m = tree_size / 2;
+  SizeTables &st = T.tab(tree_size);
+  std::vector<Fe> x(in, in + m);
+  std::vector<Fe> y(m);
+  int levels = ilog2_u64(m);
+  for (int d = 0; d < levels; ++d) {
+    u64 half = m >> (d + 1);
+    auto &mats = (moiety == 0) ? st.dec_s0[d] : st.dec_s1[d];
+    for (u64 p = 0; p < m; ++p) {
+      u64 partner = p ^ half;
+      const Fe *M = &mats[4 * (p & (half - 1))];
+      const Fe &cs = (p & half) ? M[3] : M[0];
+      const Fe &cp = (p & half) ? M[2] : M[1];
+      Fe t1, t2;
+      fe_mul(T.F, t1, cs, x[p]);
+      fe_mul(T.F, t2, cp, x[partner]);
+      fe_add(T.F, y[p], t1, t2);
+    }
+    std::swap(x, y);
+  }
+  for (int d = levels - 1; d >= 0; --d) {
+    u64 half = m >> (d + 1);
+    auto &mats = (moiety == 0) ? st.rec_s0[d] : st.rec_s1[d];
+    for (u64 p = 0; p < m; ++p) {
+      u64 partner = p ^ half;
+      const Fe *M = &mats[4 * (p & (half - 1))];
+      const Fe &cs = (p & half) ? M[3] : M[0];
+      const Fe &cp = (p & half) ? M[2] : M[1];
+      Fe t1, t2;
+      fe_mul(T.F, t1, cs, x[p]);
+      fe_mul(T.F, t2, cp, x[partner]);
+      fe_add(T.F, y[p], t1, t2);
+    }
+    std::swap(x, y);
+  }
+  std::memcpy(out, x.data(), m * sizeof(Fe));
+}
+
+// MEXTEND (fftree.rs:128-141)
+static void tree_mextend(Tree &T, u64 tree_size, const Fe *in, Fe *out,
+                         int moiety) {
+  u64 m = tree_size / 2;
+  tree_extend(T, tree_size, in, out, moiety);
+  SizeTables &st = T.tab(tree_size);
+  const std::vector<Fe> &z = (moiety == 1) ? st.z0_s1 : st.z1_s0;
+  for (u64 i = 0; i < m; ++i) fe_add(T.F, out[i], out[i], z[i]);
+}
+
+// ENTER (fftree.rs:143-167), bottom-up over block sizes
+static void tree_enter(Tree &T, u64 n, const Fe *coeffs, Fe *out) {
+  std::vector<Fe> x(coeffs, coeffs + n);
+  std::vector<Fe> nxt(n), u1(n / 2 > 0 ? n / 2 : 1), v1(n / 2 > 0 ? n / 2 : 1);
+  for (u64 size = 2; size <= n; size *= 2) {
+    SizeTables &st = T.tab(size);
+    u64 nb = n / size;
+    for (u64 blk = 0; blk < nb; ++blk) {
+      const Fe *u0 = &x[blk * size];
+      const Fe *v0 = &x[blk * size + size / 2];
+      tree_extend(T, size, u0, u1.data(), 1);
+      tree_extend(T, size, v0, v1.data(), 1);
+      Fe t;
+      for (u64 i = 0; i < size / 2; ++i) {
+        fe_mul(T.F, t, v0[i], st.xnn[2 * i]);
+        fe_add(T.F, nxt[blk * size + 2 * i], u0[i], t);
+        fe_mul(T.F, t, v1[i], st.xnn[2 * i + 1]);
+        fe_add(T.F, nxt[blk * size + 2 * i + 1], u1[i], t);
+      }
+    }
+    std::swap(x, nxt);
+  }
+  std::memcpy(out, x.data(), n * sizeof(Fe));
+}
+
+// REDC (fftree.rs:232-259); a0_inv may be null -> batch-invert even a's
+static void tree_redc(Tree &T, u64 size, const Fe *evals, const Fe *a,
+                      const Fe *a0_inv_opt, Fe *out, int moiety) {
+  u64 half = size / 2;
+  SizeTables &st = T.tab(size);
+  std::vector<Fe> t0(half), g1(half), h1(half), h0(half);
+  std::vector<Fe> a0inv;
+  const Fe *a0_inv = a0_inv_opt;
+  if (!a0_inv) {
+    a0inv.resize(half);
+    for (u64 i = 0; i < half; ++i) a0inv[i] = a[2 * i];
+    fe_batch_inv(T.F, a0inv.data(), half);
+    a0_inv = a0inv.data();
+  }
+  for (u64 i = 0; i < half; ++i) fe_mul(T.F, t0[i], evals[2 * i], a0_inv[i]);
+  tree_extend(T, size, t0.data(), g1.data(), moiety == 1 ? 0 : 1);
+  const std::vector<Fe> &zi = (moiety == 0) ? st.z0i_s1 : st.z1i_s0;
+  for (u64 i = 0; i < half; ++i) {
+    Fe t;
+    fe_mul(T.F, t, g1[i], a[2 * i + 1]);
+    fe_sub(T.F, t, evals[2 * i + 1], t);
+    fe_mul(T.F, h1[i], t, zi[i]);
+  }
+  tree_extend(T, size, h1.data(), h0.data(), moiety);
+  for (u64 i = 0; i < half; ++i) {
+    out[2 * i] = h0[i];
+    out[2 * i + 1] = h1[i];
+  }
+}
+
+// MOD (fftree.rs:277-289)
+static void tree_mod(Tree &T, u64 size, const Fe *evals, const Fe *a,
+                     const Fe *a0_inv, const Fe *c, Fe *out) {
+  std::vector<Fe> h(size);
+  tree_redc(T, size, evals, a, a0_inv, h.data(), 0);
+  for (u64 i = 0; i < size; ++i) fe_mul(T.F, h[i], h[i], c[i]);
+  tree_redc(T, size, h.data(), a, a0_inv, out, 0);
+}
+
+// EXIT (fftree.rs:200-230), top-down in place
+static void tree_exit(Tree &T, u64 n, const Fe *evals, Fe *out) {
+  std::vector<Fe> x(evals, evals + n);
+  std::vector<Fe> u(n), nxt(n);
+  for (u64 size = n; size > 1; size /= 2) {
+    SizeTables &st = T.tab(size);
+    std::vector<Fe> xnn0_inv(size / 2);
+    for (u64 i = 0; i < size / 2; ++i) xnn0_inv[i] = st.xnn_inv[2 * i];
+    u64 nb = n / size;
+    for (u64 blk = 0; blk < nb; ++blk) {
+      Fe *cur = &x[blk * size];
+      tree_mod(T, size, cur, st.xnn.data(), xnn0_inv.data(), st.z00.data(),
+               u.data());
+      Fe *dst = &nxt[blk * size];
+      for (u64 i = 0; i < size / 2; ++i) {
+        Fe u0 = u[2 * i];
+        dst[i] = u0;
+        Fe d;
+        fe_sub(T.F, d, cur[2 * i], u0);
+        fe_mul(T.F, dst[size / 2 + i], d, xnn0_inv[i]);
+      }
+    }
+    std::swap(x, nxt);
+  }
+  std::memcpy(out, x.data(), n * sizeof(Fe));
+}
+
+// DEGREE (fftree.rs:169-198)
+static u64 tree_degree(Tree &T, u64 n, const Fe *evals) {
+  std::vector<Fe> x(evals, evals + n);
+  u64 res = 0;
+  for (u64 size = n; size > 1; size /= 2) {
+    SizeTables &st = T.tab(size);
+    u64 half = size / 2;
+    std::vector<Fe> e0(half), e1(half), g1(half), t1(half), t0(half);
+    for (u64 i = 0; i < half; ++i) {
+      e0[i] = x[2 * i];
+      e1[i] = x[2 * i + 1];
+    }
+    tree_extend(T, size, e0.data(), g1.data(), 1);
+    bool low = true;
+    for (u64 i = 0; i < half && low; ++i) low = fe_eq(g1[i], e1[i]);
+    if (low) {
+      std::copy(e0.begin(), e0.end(), x.begin());
+    } else {
+      for (u64 i = 0; i < half; ++i) {
+        Fe d;
+        fe_sub(T.F, d, e1[i], g1[i]);
+        fe_mul(T.F, t1[i], d, st.z0i_s1[i]);
+      }
+      tree_extend(T, size, t1.data(), t0.data(), 0);
+      std::copy(t0.begin(), t0.end(), x.begin());
+      res += half;
+    }
+  }
+  return res;
+}
+
+// VANISH (fftree.rs:291-316), bottom-up product tree
+static void tree_vanish(Tree &T, u64 n_points, const Fe *pts, Fe *out) {
+  SizeTables &t2 = T.tab(2);
+  std::vector<Fe> x(2 * n_points);
+  for (u64 i = 0; i < n_points; ++i) {
+    fe_sub(T.F, x[2 * i], pts[i], t2.leaves[0]);
+    fe_sub(T.F, x[2 * i + 1], pts[i], t2.leaves[1]);
+  }
+  // groups of current eval length `len` over tree size `len`
+  std::vector<Fe> q(n_points), q1(n_points), nxt(2 * n_points);
+  for (u64 len = 2; len < 2 * n_points; len *= 2) {
+    u64 groups = 2 * n_points / len / 2;  // pairs of groups
+    for (u64 g = 0; g < groups; ++g) {
+      Fe *ga = &x[(2 * g) * len];
+      Fe *gb = &x[(2 * g + 1) * len];
+      for (u64 i = 0; i < len; ++i) fe_mul(T.F, q[i], ga[i], gb[i]);
+      tree_mextend(T, 2 * len, q.data(), q1.data(), 1);
+      Fe *dst = &nxt[g * 2 * len];
+      for (u64 i = 0; i < len; ++i) {
+        dst[2 * i] = q[i];
+        dst[2 * i + 1] = q1[i];
+      }
+    }
+    std::swap(x, nxt);
+  }
+  std::memcpy(out, x.data(), 2 * n_points * sizeof(Fe));
+}
+
+static void eval_poly(const FieldCtx &F, const std::vector<Fe> &coeffs,
+                      const Fe &x, Fe &out) {
+  Fe acc;
+  std::memset(acc.v, 0, sizeof(Fe));
+  for (size_t i = coeffs.size(); i-- > 0;) {
+    fe_mul(F, acc, acc, x);
+    fe_add(F, acc, acc, coeffs[i]);
+  }
+  out = acc;
+}
+
+// Construction bootstrap, same dependency order as fftree.rs:318-463 /
+// ecfft_tpu/fftree.py::from_domain_layers, iterating sizes bottom-up.
+static void tree_build(Tree &T) {
+  u64 n = T.n;
+  int logn = ilog2_u64(n);
+  T.tabs.resize(logn + 1);
+  for (int lg = 1; lg <= logn; ++lg) {
+    u64 m = 1ull << lg;
+    u64 stride = n / m;
+    SizeTables &st = T.tabs[lg];
+    // leaves
+    st.leaves.resize(m);
+    for (u64 i = 0; i < m; ++i) st.leaves[i] = T.f_layers[0][i * stride];
+    // matrices per depth (Lemma 3.2, fftree.rs:338-363)
+    int depths = lg - 1;
+    st.dec_s0.resize(depths);
+    st.dec_s1.resize(depths);
+    st.rec_s0.resize(depths);
+    st.rec_s1.resize(depths);
+    for (int li = 0; li < depths; ++li) {
+      u64 lay_len = m >> li;
+      u64 d = lay_len / 2;
+      u64 e = d / 2 - 1;
+      std::vector<Fe> full_rec(4 * d), full_dec(4 * d);
+      std::vector<Fe> dets(d);
+      for (u64 i = 0; i < d; ++i) {
+        const Fe &sa = T.f_layers[li][i * stride];
+        const Fe &sb = T.f_layers[li][(i + d) * stride];
+        Fe va, vb;
+        eval_poly(T.F, T.maps[li].den, sa, va);
+        eval_poly(T.F, T.maps[li].den, sb, vb);
+        fe_pow_u64(T.F, va, va, e);
+        fe_pow_u64(T.F, vb, vb, e);
+        Fe *R = &full_rec[4 * i];
+        R[0] = va;
+        fe_mul(T.F, R[1], sa, va);
+        R[2] = vb;
+        fe_mul(T.F, R[3], sb, vb);
+        Fe t1, t2;
+        fe_mul(T.F, t1, R[0], R[3]);
+        fe_mul(T.F, t2, R[1], R[2]);
+        fe_sub(T.F, dets[i], t1, t2);
+      }
+      fe_batch_inv(T.F, dets.data(), d);
+      for (u64 i = 0; i < d; ++i) {
+        Fe *R = &full_rec[4 * i];
+        Fe *D = &full_dec[4 * i];
+        fe_mul(T.F, D[0], R[3], dets[i]);
+        fe_mul(T.F, D[1], R[1], dets[i]);
+        fe_neg(T.F, D[1], D[1]);
+        fe_mul(T.F, D[2], R[2], dets[i]);
+        fe_neg(T.F, D[2], D[2]);
+        fe_mul(T.F, D[3], R[0], dets[i]);
+      }
+      // moiety selections (fftree.rs:87-91,108-112)
+      u64 selc = d / 2;
+      st.dec_s0[li].resize(4 * selc);
+      st.dec_s1[li].resize(4 * selc);
+      st.rec_s0[li].resize(4 * selc);
+      st.rec_s1[li].resize(4 * selc);
+      for (u64 i = 0; i < selc; ++i) {
+        std::memcpy(&st.dec_s0[li][4 * i], &full_dec[4 * (2 * i + 1)],
+                    4 * sizeof(Fe));
+        std::memcpy(&st.dec_s1[li][4 * i], &full_dec[4 * (2 * i)],
+                    4 * sizeof(Fe));
+        std::memcpy(&st.rec_s0[li][4 * i], &full_rec[4 * (2 * i)],
+                    4 * sizeof(Fe));
+        std::memcpy(&st.rec_s1[li][4 * i], &full_rec[4 * (2 * i + 1)],
+                    4 * sizeof(Fe));
+      }
+    }
+    // xnn tables
+    st.xnn.resize(m);
+    for (u64 i = 0; i < m; ++i)
+      fe_pow_u64(T.F, st.xnn[i], st.leaves[i], m / 2);
+    st.xnn_inv = st.xnn;
+    fe_batch_inv(T.F, st.xnn_inv.data(), m);
+
+    if (m == 2) {
+      st.z0_s1.resize(1);
+      st.z1_s0.resize(1);
+      fe_sub(T.F, st.z0_s1[0], st.leaves[1], st.leaves[0]);
+      fe_sub(T.F, st.z1_s0[0], st.leaves[0], st.leaves[1]);
+      st.z00.resize(2);
+      st.z11.resize(2);
+      fe_sqr(T.F, st.z00[0], st.leaves[0]);
+      st.z00[1] = st.z00[0];
+      fe_sqr(T.F, st.z11[0], st.leaves[1]);
+      st.z11[1] = st.z11[0];
+    } else {
+      SizeTables &sub = T.tabs[lg - 1];
+      u64 half = m / 2;
+      // z0_s1 (fftree.rs:384-393)
+      std::vector<Fe> a(half), b(half), ea(half), eb(half);
+      for (u64 i = 0; i < half; ++i) {
+        std::memset(a[i].v, 0, sizeof(Fe));
+        std::memset(b[i].v, 0, sizeof(Fe));
+      }
+      for (u64 i = 0; i < half / 2; ++i) {
+        a[2 * i + 1] = sub.z0_s1[i];
+        b[2 * i] = sub.z1_s0[i];
+      }
+      tree_extend(T, m, a.data(), ea.data(), 1);
+      tree_extend(T, m, b.data(), eb.data(), 1);
+      st.z0_s1.resize(half);
+      for (u64 i = 0; i < half; ++i) fe_mul(T.F, st.z0_s1[i], ea[i], eb[i]);
+      // z1_s0 via vanish (fftree.rs:395-397) — vanish needs z0_s1 of this
+      // size, already set above
+      std::vector<Fe> s1(half), z1s(m);
+      for (u64 i = 0; i < half; ++i) s1[i] = st.leaves[2 * i + 1];
+      tree_vanish(T, half, s1.data(), z1s.data());
+      st.z1_s0.resize(half);
+      for (u64 i = 0; i < half; ++i) st.z1_s0[i] = z1s[2 * i];
+    }
+    st.z0i_s1 = st.z0_s1;
+    fe_batch_inv(T.F, st.z0i_s1.data(), st.z0i_s1.size());
+    st.z1i_s0 = st.z1_s0;
+    fe_batch_inv(T.F, st.z1i_s0.data(), st.z1i_s0.size());
+
+    if (m > 2) {
+      SizeTables &sub = T.tabs[lg - 1];
+      u64 half = m / 2;
+      // z00 (fftree.rs:419-446)
+      std::vector<Fe> xnnnn(m), xnnnn_inv(m);
+      for (u64 i = 0; i < m; ++i)
+        fe_pow_u64(T.F, xnnnn[i], st.leaves[i], m / 4);
+      xnnnn_inv = xnnnn;
+      fe_batch_inv(T.F, xnnnn_inv.data(), m);
+      std::vector<Fe> sq0(half), rem0(half), rem1(half);
+      for (u64 i = 0; i < half; ++i)
+        fe_mul(T.F, sq0[i], sub.z00[i], sub.z11[i]);
+      std::vector<Fe> sub_xnn0_inv(half / 2);
+      for (u64 i = 0; i < half / 2; ++i) sub_xnn0_inv[i] = sub.xnn_inv[2 * i];
+      tree_mod(T, half, sq0.data(), sub.xnn.data(), sub_xnn0_inv.data(),
+               sub.z00.data(), rem0.data());
+      tree_extend(T, m, rem0.data(), rem1.data(), 1);
+      std::vector<Fe> z00_rem_xnnnn(m), z0s(m), tmp(m);
+      for (u64 i = 0; i < half; ++i) {
+        z00_rem_xnnnn[2 * i] = rem0[i];
+        z00_rem_xnnnn[2 * i + 1] = rem1[i];
+        std::memset(z0s[2 * i].v, 0, sizeof(Fe));
+        z0s[2 * i + 1] = st.z0_s1[i];
+      }
+      for (u64 i = 0; i < m; ++i) {
+        Fe d;
+        fe_sub(T.F, d, z0s[i], st.xnn[i]);
+        fe_sqr(T.F, d, d);
+        fe_sub(T.F, d, d, z00_rem_xnnnn[i]);
+        fe_mul(T.F, tmp[i], d, xnnnn_inv[i]);
+      }
+      std::vector<Fe> xnnnn0_inv(half);
+      for (u64 i = 0; i < half; ++i) xnnnn0_inv[i] = xnnnn_inv[2 * i];
+      std::vector<Fe> hi_rem(m);
+      tree_mod(T, m, tmp.data(), xnnnn.data(), xnnnn0_inv.data(),
+               z00_rem_xnnnn.data(), hi_rem.data());
+      st.z00.resize(m);
+      for (u64 i = 0; i < m; ++i) {
+        Fe t;
+        fe_mul(T.F, t, xnnnn[i], hi_rem[i]);
+        fe_add(T.F, st.z00[i], z00_rem_xnnnn[i], t);
+      }
+      // z11 (fftree.rs:448-452)
+      std::vector<Fe> z1s(m), z11in(m);
+      for (u64 i = 0; i < half; ++i) {
+        z1s[2 * i] = st.z1_s0[i];
+        std::memset(z1s[2 * i + 1].v, 0, sizeof(Fe));
+      }
+      for (u64 i = 0; i < m; ++i) {
+        Fe d;
+        fe_sub(T.F, d, z1s[i], st.xnn[i]);
+        fe_sqr(T.F, z11in[i], d);
+      }
+      std::vector<Fe> xnn0_inv(half);
+      for (u64 i = 0; i < half; ++i) xnn0_inv[i] = st.xnn_inv[2 * i];
+      st.z11.resize(m);
+      tree_mod(T, m, z11in.data(), st.xnn.data(), xnn0_inv.data(),
+               st.z00.data(), st.z11.data());
+    }
+  }
+}
+
+}  // namespace
+
+// ------------------------------------------------------------- C API
+
+extern "C" {
+
+void *ecn_tree_new(const u8 *p_le, const u8 *leaves_le, u64 n,
+                   const u8 *maps_blob, u64 maps_len) {
+  Tree *T = new Tree();
+  ctx_init(T->F, p_le);
+  T->n = n;
+  // leaves (canonical -> montgomery)
+  int logn = ilog2_u64(n);
+  T->f_layers.resize(logn + 1);
+  T->f_layers[0].resize(n);
+  for (u64 i = 0; i < n; ++i) {
+    Fe c;
+    std::memcpy(c.v, leaves_le + 32 * i, 32);
+    to_mont(T->F, T->f_layers[0][i], c);
+  }
+  // maps: per map u32 nlen, coeffs, u32 dlen, coeffs
+  const u8 *ptr = maps_blob;
+  const u8 *end = maps_blob + maps_len;
+  while (ptr < end) {
+    RMap rm;
+    u32 nlen;
+    std::memcpy(&nlen, ptr, 4);
+    ptr += 4;
+    for (u32 i = 0; i < nlen; ++i) {
+      Fe c;
+      std::memcpy(c.v, ptr, 32);
+      ptr += 32;
+      Fe mc;
+      to_mont(T->F, mc, c);
+      rm.num.push_back(mc);
+    }
+    u32 dlen;
+    std::memcpy(&dlen, ptr, 4);
+    ptr += 4;
+    for (u32 i = 0; i < dlen; ++i) {
+      Fe c;
+      std::memcpy(c.v, ptr, 32);
+      ptr += 32;
+      Fe mc;
+      to_mont(T->F, mc, c);
+      rm.den.push_back(mc);
+    }
+    T->maps.push_back(std::move(rm));
+  }
+  // fill internal domain layers via x-maps (fftree.rs:56-67)
+  for (int li = 0; li < logn; ++li) {
+    u64 lay = n >> (li + 1);
+    T->f_layers[li + 1].resize(lay);
+    std::vector<Fe> dens(lay);
+    for (u64 i = 0; i < lay; ++i)
+      eval_poly(T->F, T->maps[li].den, T->f_layers[li][i], dens[i]);
+    fe_batch_inv(T->F, dens.data(), lay);
+    for (u64 i = 0; i < lay; ++i) {
+      Fe nu;
+      eval_poly(T->F, T->maps[li].num, T->f_layers[li][i], nu);
+      fe_mul(T->F, T->f_layers[li + 1][i], nu, dens[i]);
+    }
+  }
+  tree_build(*T);
+  return T;
+}
+
+void ecn_tree_free(void *t) { delete (Tree *)t; }
+
+// helpers to move canonical bytes <-> montgomery vectors
+static void load_vec(Tree *T, const u8 *in, u64 cnt, std::vector<Fe> &out) {
+  out.resize(cnt);
+  for (u64 i = 0; i < cnt; ++i) {
+    Fe c;
+    std::memcpy(c.v, in + 32 * i, 32);
+    to_mont(T->F, out[i], c);
+  }
+}
+
+static void store_vec(Tree *T, const std::vector<Fe> &in, u8 *out) {
+  for (u64 i = 0; i < in.size(); ++i) {
+    Fe c;
+    from_mont(T->F, c, in[i]);
+    std::memcpy(out + 32 * i, c.v, 32);
+  }
+}
+
+void ecn_enter(void *t, const u8 *coeffs, u64 n, u8 *out) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in, res(n);
+  load_vec(T, coeffs, n, in);
+  tree_enter(*T, n, in.data(), res.data());
+  store_vec(T, res, out);
+}
+
+void ecn_exit(void *t, const u8 *evals, u64 n, u8 *out) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in, res(n);
+  load_vec(T, evals, n, in);
+  tree_exit(*T, n, in.data(), res.data());
+  store_vec(T, res, out);
+}
+
+void ecn_extend(void *t, const u8 *evals, u64 m, int moiety, u8 *out) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in, res(m);
+  load_vec(T, evals, m, in);
+  tree_extend(*T, 2 * m, in.data(), res.data(), moiety);
+  store_vec(T, res, out);
+}
+
+void ecn_mextend(void *t, const u8 *evals, u64 m, int moiety, u8 *out) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in, res(m);
+  load_vec(T, evals, m, in);
+  tree_mextend(*T, 2 * m, in.data(), res.data(), moiety);
+  store_vec(T, res, out);
+}
+
+u64 ecn_degree(void *t, const u8 *evals, u64 n) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in;
+  load_vec(T, evals, n, in);
+  return tree_degree(*T, n, in.data());
+}
+
+void ecn_redc(void *t, const u8 *evals, const u8 *a, u64 n, int moiety,
+              u8 *out) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in, av, res(n);
+  load_vec(T, evals, n, in);
+  load_vec(T, a, n, av);
+  tree_redc(*T, n, in.data(), av.data(), nullptr, res.data(), moiety);
+  store_vec(T, res, out);
+}
+
+void ecn_mod(void *t, const u8 *evals, const u8 *a, const u8 *c, u64 n,
+             u8 *out) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in, av, cv, res(n);
+  load_vec(T, evals, n, in);
+  load_vec(T, a, n, av);
+  load_vec(T, c, n, cv);
+  tree_mod(*T, n, in.data(), av.data(), nullptr, cv.data(), res.data());
+  store_vec(T, res, out);
+}
+
+void ecn_vanish(void *t, const u8 *pts, u64 n_points, u8 *out) {
+  Tree *T = (Tree *)t;
+  std::vector<Fe> in, res(2 * n_points);
+  load_vec(T, pts, n_points, in);
+  tree_vanish(*T, n_points, in.data(), res.data());
+  store_vec(T, res, out);
+}
+
+// export a table as canonical bytes: which = 0 leaves, 1 xnn, 2 xnn_inv,
+// 3 z0_s1, 4 z1_s0, 5 z0i_s1, 6 z1i_s0, 7 z00, 8 z11
+u64 ecn_table(void *t, u64 size, int which, u8 *out) {
+  Tree *T = (Tree *)t;
+  SizeTables &st = T->tab(size);
+  const std::vector<Fe> *v = nullptr;
+  switch (which) {
+    case 0: v = &st.leaves; break;
+    case 1: v = &st.xnn; break;
+    case 2: v = &st.xnn_inv; break;
+    case 3: v = &st.z0_s1; break;
+    case 4: v = &st.z1_s0; break;
+    case 5: v = &st.z0i_s1; break;
+    case 6: v = &st.z1i_s0; break;
+    case 7: v = &st.z00; break;
+    case 8: v = &st.z11; break;
+    default: return 0;
+  }
+  if (out) store_vec(T, *v, out);
+  return v->size();
+}
+
+// export selected butterfly matrices for one (size, depth):
+// which = 0 dec_s0, 1 dec_s1, 2 rec_s0, 3 rec_s1; each entry is 4
+// row-major coefficients. Returns the pair count.
+u64 ecn_mats(void *t, u64 size, u64 depth, int which, u8 *out) {
+  Tree *T = (Tree *)t;
+  SizeTables &st = T->tab(size);
+  const std::vector<Fe> *v = nullptr;
+  switch (which) {
+    case 0: v = &st.dec_s0[depth]; break;
+    case 1: v = &st.dec_s1[depth]; break;
+    case 2: v = &st.rec_s0[depth]; break;
+    case 3: v = &st.rec_s1[depth]; break;
+    default: return 0;
+  }
+  if (out) store_vec(T, *v, out);
+  return v->size() / 4;
+}
+
+// export a domain layer of the full tree (canonical bytes)
+u64 ecn_layer(void *t, u64 layer, u8 *out) {
+  Tree *T = (Tree *)t;
+  if (layer >= T->f_layers.size()) return 0;
+  if (out) store_vec(T, T->f_layers[layer], out);
+  return T->f_layers[layer].size();
+}
+
+// micro-benchmark hook: time raw montgomery muls (for bench baselines)
+double ecn_mul_throughput(const u8 *p_le, u64 iters) {
+  FieldCtx F;
+  ctx_init(F, p_le);
+  Fe a = F.one_m, b = F.r2;
+  // warm data dependency chain so the loop can't be optimized away
+  for (u64 i = 0; i < iters; ++i) fe_mul(F, a, a, b);
+  volatile u64 sink = a.v[0];
+  (void)sink;
+  return (double)a.v[0];
+}
+
+}  // extern "C"

@@ -1,0 +1,135 @@
+"""FIND_CURVE + Schoof tests (mirrors examples/find_curve.rs and
+examples/schoofs.rs usage; brute-force oracles on small primes)."""
+
+import random
+
+import pytest
+
+from ecfft_tpu.ec.curve import ShortWeierstrass, two_adicity
+from ecfft_tpu.fields.host import legendre
+from ecfft_tpu.fields.registry import M31_P
+from ecfft_tpu.find_curve import (
+    cyclic_two_sylow_subgroup,
+    double_point_x,
+    find_curve,
+    find_two_sylow_subgroup,
+    half_point_x,
+)
+from ecfft_tpu.schoof import cardinality, division_polynomials, has_even_order
+
+
+def brute_count(a, b, p):
+    cnt = 1
+    for x in range(p):
+        r = (x * x * x + a * x + b) % p
+        cnt += 1 if r == 0 else (2 if legendre(r, p) == 1 else 0)
+    return cnt
+
+
+@pytest.mark.parametrize("p", [101, 233, 1009])
+@pytest.mark.parametrize("ab", [(1, 3), (5, 7), (2, 11), (0, 1), (1, 0)])
+def test_schoof_matches_brute_force(p, ab):
+    a, b = ab
+    if (4 * a**3 + 27 * b**2) % p == 0:
+        pytest.skip("singular")
+    assert cardinality(ShortWeierstrass(a, b, p)) == brute_count(a, b, p)
+
+
+def test_division_polynomial_x_identity():
+    """x(nP) = x − ψ_{n−1}ψ_{n+1}/ψ_n² against the real group law."""
+    from ecfft_tpu.ec.curve import Point
+    from ecfft_tpu.fields.host import sqrt_mod
+    from ecfft_tpu.utils import poly as P
+
+    p, a, b = 101, 1, 3
+    c = ShortWeierstrass(a, b, p)
+    f = division_polynomials(c, 7)
+    pts = []
+    for x in range(p):
+        r = (x**3 + a * x + b) % p
+        if r and legendre(r, p) == 1:
+            pts.append(Point(x, sqrt_mod(r, p), c))
+    checked = 0
+    for pt in pts[:12]:
+        for n in (2, 3, 4, 5, 6):
+            np_ = pt * n
+            if np_.is_zero():
+                continue
+            x = pt.x
+            F = (x**3 + a * x + b) % p
+            num = P.evaluate(f[n - 1], x, p) * P.evaluate(f[n + 1], x, p) % p
+            den = P.evaluate(f[n], x, p) ** 2 % p
+            if n % 2 == 0:
+                den = den * F % p
+            else:
+                num = num * F % p
+            if den == 0:
+                continue
+            assert (x - num * pow(den, -1, p)) % p == np_.x
+            checked += 1
+    assert checked > 20
+
+
+def test_has_even_order():
+    # y² = x³ - x has full rational 2-torsion over p ≡ 1 mod 4
+    assert has_even_order(ShortWeierstrass(-1, 0, 101))
+    # brute-check an odd-order curve
+    for a, b in [(1, 3), (2, 5), (3, 4)]:
+        p = 103
+        if (4 * a**3 + 27 * b**2) % p == 0:
+            continue
+        assert has_even_order(ShortWeierstrass(a, b, p)) == (
+            brute_count(a, b, p) % 2 == 0
+        )
+
+
+def test_point_halving_roundtrip():
+    p = M31_P
+    rng = random.Random(3)
+    n, pt = find_curve(p, 8, rng)
+    assert n >= 8
+    a = pt.curve.a
+    bb = pt.curve.b * pt.curve.b % p
+    # the generator tops the halving chain: no rational half point exists
+    assert half_point_x(pt.x, a, bb, p) is None
+    # but its double has one, and halving it inverts doubling (up to the
+    # choice of preimage: both halves share the same double)
+    dx = double_point_x(pt.x, a, bb, p)
+    hx = half_point_x(dx, a, bb, p)
+    assert hx is not None
+    assert double_point_x(hx, a, bb, p) == dx
+
+
+def test_find_curve_generator_verified():
+    # find_curve.rs:224-246: the returned point lies on the curve and has
+    # exact 2-adicity n
+    p = M31_P
+    rng = random.Random(7)
+    n, pt = find_curve(p, 6, rng)
+    assert pt.curve.contains(pt.x, pt.y)
+    assert two_adicity(pt) == n >= 6
+
+
+def test_cyclic_two_sylow_rejects_noncyclic():
+    # full rational 2-torsion (disc is QR) → (0, None)
+    p = M31_P
+    rng = random.Random(11)
+    seen = 0
+    while seen < 3:
+        a, bb = rng.randrange(p), rng.randrange(p)
+        if bb == 0 or (a * a - 4 * bb) % p == 0:
+            continue
+        from ecfft_tpu.fields.host import sqrt_mod
+
+        if sqrt_mod((a * a - 4 * bb) % p, p) is not None:
+            n, x = cyclic_two_sylow_subgroup(a, bb, p)
+            assert (n, x) == (0, None)
+            seen += 1
+
+
+def test_noncyclic_sylow_is_explicit_boundary():
+    # the reference leaves this unfinished (find_curve.rs:148-151)
+    with pytest.raises(NotImplementedError):
+        find_two_sylow_subgroup(1, 2, M31_P)
+    with pytest.raises(NotImplementedError):
+        find_curve(2**127, 3)  # even characteristic boundary
