@@ -347,33 +347,105 @@ class FFTree:
             if k <= up_to
         }
 
+    # ------------------------------------------------- schedule machinery
+
+    @property
+    def pool_offsets(self) -> dict:
+        self._ensure_pool()
+        return self._pool_off
+
+    def _ensure_pool(self):
+        if not hasattr(self, "_pool"):
+            from ecfft_tpu.ops import schedule as sch
+
+            self._pool, self._pool_off = sch.build_pool(self)
+            self._scheds: dict = {}
+
+    def _schedule(self, key, builder):
+        self._ensure_pool()
+        if key not in self._scheds:
+            self._scheds[key] = tuple(jnp.asarray(a) for a in builder())
+        return self._scheds[key]
+
+    def _run_sched(self, sched, batch, m_out: int, W: int):
+        """Run a schedule on a (..., m, L) batch; returns (..., m_out, L)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        lead = batch.shape[:-2]
+        flat = batch.reshape((-1,) + batch.shape[-2:])
+        x = sch.to_state(flat, W)
+        out = sch.run_schedule(self.spec, self._pool, sched, x)
+        res = sch.from_state(out, m_out)
+        return res.reshape(lead + res.shape[-2:])
+
     # ---------------------------------------------------------- algorithms
+    # The public transforms run on the schedule machine (ops/schedule.py):
+    # ONE compiled scan interprets per-size schedule tensors, so any
+    # (algorithm, size) costs a single TPU compile. The *_unscheduled
+    # variants below keep the direct multi-scan formulation for
+    # cross-validation and for construction (which predates the pool).
 
     def extend(self, evals, moiety: int = S1):
         """⟨P ≀ moiety⟩ from ⟨P ≀ other moiety⟩, deg P < m
         (fftree.rs:123-126)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        m = evals.shape[-2]
+        self._size_check(m * 2)
+        s = self._schedule(("extend", m, moiety),
+                           lambda: sch.extend_schedule(self, m, moiety))
+        return self._run_sched(s, evals, m, m + 1)
+
+    def mextend(self, evals, moiety: int = S1):
+        """EXTEND for monic polys of degree exactly m (fftree.rs:138-141)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        m = evals.shape[-2]
+        self._size_check(m * 2)
+        s = self._schedule(
+            ("mextend", m, moiety),
+            lambda: sch.extend_schedule(self, m, moiety, mextend=True),
+        )
+        return self._run_sched(s, evals, m, m + 1)
+
+    def enter(self, coeffs):
+        """Coefficients → evaluations (fftree.rs:164-167)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        n = coeffs.shape[-2]
+        self._size_check(n)
+        s = self._schedule(("enter", n), lambda: sch.enter_schedule(self, n))
+        return self._run_sched(s, coeffs, n, 2 * n + 1)
+
+    def exit(self, evals):
+        """Evaluations → coefficients (fftree.rs:227-230)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        n = evals.shape[-2]
+        self._size_check(n)
+        s = self._schedule(("exit", n), lambda: sch.exit_schedule(self, n))
+        return self._run_sched(s, evals, n, 2 * n + 1)
+
+    def extend_unscheduled(self, evals, moiety: int = S1):
         m = evals.shape[-2]
         self._size_check(m * 2)
         return _extend_jit(self.spec, self.tables[m * 2]["ext"], evals, moiety)
 
-    def mextend(self, evals, moiety: int = S1):
-        """EXTEND for monic polys of degree exactly m (fftree.rs:138-141)."""
+    def mextend_unscheduled(self, evals, moiety: int = S1):
         m = evals.shape[-2]
         self._size_check(m * 2)
         t = self.tables[m * 2]
         z = t["z0_s1"] if moiety == S1 else t["z1_s0"]
         return _mextend_jit(self.spec, t["ext"], z, evals, moiety)
 
-    def enter(self, coeffs):
-        """Coefficients → evaluations (fftree.rs:164-167)."""
+    def enter_unscheduled(self, coeffs):
         n = coeffs.shape[-2]
         self._size_check(n)
         ext = {k: self.tables[k]["ext"] for k in self.tables if k <= n}
         xnn = {k: self.tables[k]["xnn_s"] for k in self.tables if k <= n}
         return _enter_jit(self.spec, ext, xnn, coeffs)
 
-    def exit(self, evals):
-        """Evaluations → coefficients (fftree.rs:227-230)."""
+    def exit_unscheduled(self, evals):
         n = evals.shape[-2]
         self._size_check(n)
         t = self._subtables(

@@ -278,8 +278,84 @@ def _gen_mul(spec: FieldSpec, a, b):
     c = _carry_normalize(_fold(c, spec))
     c = _carry_normalize(_fold(c, spec))
     # width is now ≥ L+1 with at most one set bit above column L−1
-    top = c[..., L:].sum(axis=-1, dtype=jnp.uint32)
-    return _cond_sub_p(spec, c[..., :L], top)
+    slack = 16 * L - spec.p.bit_length()
+    if slack == 0:
+        top = c[..., L:].sum(axis=-1, dtype=jnp.uint32)
+        return _cond_sub_p(spec, c[..., :L], top)
+    # p may be several bits below R (e.g. 2^61−1 in 4 limbs): the value
+    # after folding is < 2R < 2^(slack+2)·p, so run a binary subtract
+    # chain 2^j·p, j = slack..0 (plus one extra unit step) on the
+    # (L+1)-wide columns.
+    return _reduce_slack(spec, c[..., : L + 1])
+
+
+def _reduce_slack(spec: FieldSpec, cols):
+    """Reduce a canonical (L+1)-column value < 2^(slack+2)·p into [0, p)
+    by the standard binary chain: for j = slack+1 .. 0, conditionally
+    subtract p·2^j (invariant: value < p·2^(j+1) entering step j).
+    Subtraction is complement-add; the carry-out bit is the ≥ predicate.
+    """
+    L = spec.num_limbs
+    W = L + 1
+    slack = 16 * L - spec.p.bit_length()
+    x = cols
+    for j in range(slack + 1, -1, -1):
+        comp = jnp.asarray(
+            [((1 << (16 * W)) - (spec.p << j)) >> (16 * i) & 0xFFFF
+             for i in range(W)],
+            dtype=jnp.uint32,
+        )
+        y = _carry_normalize(x + comp)  # width W+1; top bit = (x ≥ p·2^j)
+        need = y[..., W] > 0
+        x = jnp.where(need[..., None], y[..., :W], x)
+    return x[..., :L]
+
+
+def _mont_mul_scan(spec: FieldSpec, a, b):
+    """Generic-prime fallback: word-serial Montgomery reduction as a
+    ``lax.scan`` over the L reduction steps.
+
+    Used for primes whose R-residue digits are too large for the parallel
+    fold path (FieldSpec.fold_terms digit bound). Values are canonical at
+    the boundary: the product a·b·R is formed by multiplying with R² up
+    front... no — to stay canonical we Montgomery-reduce a·b (giving
+    a·b·R⁻¹) and then Montgomery-multiply by the precomputed R² once.
+    Columns stay < 2^22 throughout (same deferred-carry argument as the
+    pseudo-Mersenne path).
+    """
+    L = spec.num_limbs
+
+    def reduce_once(c):
+        # c: (..., 2L) columns < 2^21; returns a·R^{-1}-style reduction
+        n_prime = jnp.uint32(spec.n_prime)
+        p_limbs = _p_limbs(spec)
+        pad = jnp.zeros_like(c[..., :1])
+        state = jnp.concatenate([c, pad], axis=-1)  # (..., 2L+1)
+
+        def body(t, _):
+            m = (t[..., 0] * n_prime) & MASK
+            mp = m[..., None] * p_limbs  # (..., L) exact
+            lo = mp & MASK
+            hi = mp >> 16
+            add = jnp.zeros_like(t)
+            add = add.at[..., :L].add(lo)
+            add = add.at[..., 1 : L + 1].add(hi)
+            t = t + add
+            carry = (t[..., 0] >> 16)
+            t = jnp.concatenate(
+                [t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1
+            )
+            t = t.at[..., 0].add(carry)
+            return t, None
+
+        state, _ = jax.lax.scan(body, state, None, length=L)
+        res = _carry_normalize(state[..., : L + 1])  # (..., L+2) canonical
+        top = res[..., L:].sum(axis=-1, dtype=jnp.uint32)
+        return _cond_sub_p(spec, res[..., :L], top)
+
+    ab_red = reduce_once(_conv_columns(a, b, L))  # = a·b·R⁻¹
+    r2 = jnp.asarray(spec.to_limbs(spec.r2_mod_p), dtype=jnp.uint32)
+    return reduce_once(_conv_columns(ab_red, r2, L))  # = a·b
 
 
 # --------------------------------------------------------------------------
@@ -305,7 +381,9 @@ def neg(spec: FieldSpec, a):
 def mul(spec: FieldSpec, a, b):
     if _is_m31(spec):
         return _m31_mul(a, b)
-    return _gen_mul(spec, a, b)
+    if spec.fold_terms is not None:
+        return _gen_mul(spec, a, b)
+    return _mont_mul_scan(spec, a, b)
 
 
 def square(spec: FieldSpec, a):

@@ -59,13 +59,16 @@ class FieldSpec:
         return (-pow(self.p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
 
     @property
-    def fold_terms(self) -> tuple[tuple[int, int], ...]:
+    def fold_terms(self) -> tuple[tuple[int, int], ...] | None:
         """Sparse base-2^16 digits of R mod p for pseudo-Mersenne folding.
 
         2^(16·L) ≡ Σ d_t·2^(16·off_t) (mod p); the device mul folds
         product columns ≥ L back in with these terms. Digit-sum bound
         (Σ d_t < 2^11) guarantees every fold product fits uint32 even for
-        non-canonical columns < 2^21 (see device._fold).
+        non-canonical columns < 2^21 (see device._fold). Returns None for
+        primes outside that bound — device.mul then takes the word-serial
+        Montgomery-scan fallback, so ANY odd prime works (matching the
+        reference's any-prime-field claim, README.md:2-4), just slower.
         """
         rem = self.r_mod_p
         terms = []
@@ -76,11 +79,10 @@ class FieldSpec:
                 terms.append((i, d))
             rem >>= LIMB_BITS
             i += 1
-        assert sum(d for _, d in terms) < (1 << 11), (
-            "prime not pseudo-Mersenne-friendly for the fold reduction; "
-            "add a Montgomery fallback for this field"
-        )
+        if sum(d for _, d in terms) >= (1 << 11):
+            return None
         return tuple(terms)
+
 
     def to_montgomery(self, a: int) -> int:
         return a * self.r % self.p if self.montgomery else a % self.p
@@ -97,6 +99,19 @@ class FieldSpec:
 
     def from_limbs(self, limbs) -> int:
         return sum(int(l) << (self.limb_bits * i) for i, l in enumerate(limbs))
+
+
+def spec_for_prime(p: int, name: str | None = None) -> "FieldSpec":
+    """FieldSpec for an arbitrary odd prime: 16-bit limbs, canonical form,
+    pseudo-Mersenne folds when the prime allows, Montgomery-scan
+    otherwise."""
+    num_limbs = max((p.bit_length() + LIMB_BITS - 1) // LIMB_BITS, 1)
+    return FieldSpec(
+        name=name or f"fp_{p % 100000}_{p.bit_length()}b",
+        p=p,
+        num_limbs=num_limbs,
+        montgomery=False,
+    )
 
 
 # --- M31: Mersenne-31 field -------------------------------------------------
@@ -144,6 +159,60 @@ SECP_SUBGROUP_GEN_Y = (
 SECP_SUBGROUP_TWO_ADICITY = 36
 
 
+# custom fields registered at runtime: name -> (curve GoodCurve params,
+# coset offset Point, subgroup generator Point, two-adicity)
+CUSTOM_DOMAINS: dict[str, tuple] = {}
+
+
+def register_field(name: str, p: int, curve_a: int, curve_bb: int,
+                   gen_xy: tuple[int, int], coset_xy: tuple[int, int],
+                   two_adicity: int) -> FieldSpec:
+    """Register an arbitrary odd-prime field with a GoodCurve domain so
+    ``build_fftree(name, n)`` works for it — the runtime equivalent of the
+    reference's per-field hardcoded modules (lib.rs:18-215)."""
+    spec = spec_for_prime(p, name)
+    curve = GoodCurve.new_odd(curve_a, curve_bb, p)
+    gen = Point(gen_xy[0], gen_xy[1], curve)
+    coset = Point(coset_xy[0], coset_xy[1], curve)
+    assert curve.contains(gen.x, gen.y) and curve.contains(coset.x, coset.y)
+    FIELDS[name] = spec
+    CUSTOM_DOMAINS[name] = (curve, coset, gen, two_adicity)
+    return spec
+
+
+def field_from_curve_search(name: str, p: int, k: int, rng=None) -> FieldSpec:
+    """FIND_CURVE → registered field, end to end: search for a good curve
+    with 2-adicity ≥ k over F_p (find_curve.rs:224-246), derive a coset
+    offset disjoint from the subgroup, and register the field for
+    ``build_fftree``. This is the reference's offline workflow ("humans
+    hardcode the found constants", SURVEY §1 layer 5) automated."""
+    import random as _random
+
+    from ecfft_tpu.fields.host import legendre, sqrt_mod
+    from ecfft_tpu.find_curve import find_curve
+
+    rng = rng or _random.Random()
+    n_adic, gen = find_curve(p, k, rng)
+    curve = gen.curve
+    a, b = curve.a, curve.b
+    bb = b * b % p
+    # coset offset: any rational point outside the 2-Sylow generator's
+    # subgroup — accept Q iff 2^n·Q ≠ 0 (Q in <gen> would have 2-power
+    # order dividing 2^n)
+    while True:
+        x = rng.randrange(p)
+        yy = x * (x * x + a * x + bb) % p
+        if yy == 0 or legendre(yy, p) != 1:
+            continue
+        q = Point(x, sqrt_mod(yy, p), curve)
+        acc = q
+        for _ in range(n_adic):
+            acc = acc.double()
+        if not acc.is_zero():
+            break
+    return register_field(name, p, a, bb, (gen.x, gen.y), (q.x, q.y), n_adic)
+
+
 def build_domain(spec: FieldSpec, n: int) -> tuple[list[int], list[RationalMap]] | None:
     """Host-side FFTree ingredients: (leaves, x-map chain) for a size-n tree.
 
@@ -177,6 +246,16 @@ def build_domain(spec: FieldSpec, n: int) -> tuple[list[int], list[RationalMap]]
         maps = [iso.r for iso in find_isogeny_chain_velu(gen, log_n)]
         leaves = coset_leaves(M31_COSET_OFFSET, gen, n)
         return leaves, maps
+
+    if spec.name in CUSTOM_DOMAINS:
+        curve, coset, gen, two_adicity = CUSTOM_DOMAINS[spec.name]
+        if log_n >= two_adicity:
+            return None
+        for _ in range(two_adicity - log_n):
+            gen = gen.double()
+        leaves = coset_leaves(coset, gen, n)
+        chain = find_isogeny_chain(gen)
+        return leaves, [iso.r for iso in chain]
 
     raise ValueError(f"unknown field {spec.name}")
 

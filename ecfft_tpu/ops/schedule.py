@@ -1,0 +1,414 @@
+"""The schedule machine: ECFFT transforms as data.
+
+Motivation: on TPU every distinct XLA computation pays a large compile
+cost (tens of seconds through this environment's remote-compile path, and
+minutes for the multi-scan ENTER/EXIT traces). But every ECFFT algorithm
+is a composition of one primitive shape:
+
+    out[p] = A[p] · x[g1[p]]  +  B[p] · x[g2[p]]
+
+- EXTEND's butterflies: A/B the pre-scattered Lemma-3.2 coefficients,
+  g1 = p, g2 = p XOR half (ops/core.py::extend derivation);
+- ENTER's combine P = U + X^(k/2)·V: A = 1, B = xnn, block-affine g's
+  (fftree.rs:155-159);
+- REDC/MOD/EXIT's elementwise stages: (e − g·a)·z⁻¹ etc. are affine in
+  the state with coefficients that are *products of precomputed tables*
+  (fused into the pool ahead of time);
+- interleave/deinterleave/subsample: pure index permutations, absorbed
+  into g1/g2 for free.
+
+So a whole transform compiles to ONE ``lax.scan`` over per-step tensors
+(a_idx, b_idx, g1, g2) — the "schedule" — with coefficients fetched from
+a flat "pool" of table rows. The FFTree stops being code and becomes a
+program: one tiny compiled interpreter runs ENTER, EXIT, EXTEND, MEXTEND,
+REDC and MOD for every size, and adding an algorithm adds data, not a
+compile.
+
+State layout: (W, B, L) — position-major so each gather moves a
+contiguous (B, L) row (batch rides the TPU lane dimension), limb-minor so
+the field kernels apply unchanged. For ENTER/EXIT, W = 2n+1: positions
+[0, n) are the value lane, [n, 2n) the extend/scratch lane, and position
+2n is a constant 1 so additive table terms (MEXTEND's +Z) stay affine.
+
+Step counts: ENTER ≈ log²n, EXIT ≈ 4·log²n — the same O(n log² n) work
+as the reference's recursion (README.md:7-8), one n-wide step per level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ecfft_tpu.fields import device as fd
+from ecfft_tpu.fields.registry import FieldSpec
+from ecfft_tpu.ops.core import S0, S1, _ilog2
+
+ZERO = 0  # pool row of zeros
+ONE = 1   # pool row of one
+
+
+# ----------------------------------------------------------------- pool
+
+
+def build_pool(tree) -> tuple[jnp.ndarray, dict]:
+    """Concatenate every table row a schedule can reference into one
+    (P, L) array; returns (pool, offsets). Includes fused/negated
+    coefficient vectors so REDC/MOD/EXIT stages stay single-step affine.
+    """
+    spec = tree.spec
+    L = spec.num_limbs
+    rows = [jnp.zeros((1, L), jnp.uint32), fd.ones(spec, (1,))]
+    off = {}
+    cursor = 2
+    for k in sorted(tree.tables):
+        t = tree.tables[k]
+        ext = t["ext"]
+        for name, arr in (
+            ("dec_s0", ext["s0"][0]),
+            ("rec_s0", ext["s0"][1]),
+            ("dec_s1", ext["s1"][0]),
+            ("rec_s1", ext["s1"][1]),
+        ):
+            flat = arr.reshape(-1, L)  # (logm*m*2, L) row = (d*m + i)*2 + c
+            off[f"{name}_{k}"] = cursor
+            rows.append(flat)
+            cursor += flat.shape[0]
+        for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
+                     "z1_inv_s0", "z0z0_rem_xnn_s"):
+            arr = t[name]
+            off[f"{name}_{k}"] = cursor
+            rows.append(arr)
+            cursor += arr.shape[0]
+        # fused vectors for the EXIT/MOD pipeline with a = X^(k/2),
+        # c = <Z0² mod a ≀ S> (fftree.rs:200-289)
+        xnn = t["xnn_s"]
+        xnninv = t["xnn_s_inv"]
+        z0inv = t["z0_inv_s1"]
+        z00 = t["z0z0_rem_xnn_s"]
+        derived = {
+            # -(a1·z0inv): h1 = z0inv·e1 + this·g1v (fftree.rs:253-255)
+            "neg_a1_z0inv": fd.neg(spec, fd.mul(spec, xnn[1::2], z0inv)),
+            # c_even·a0inv: second REDC's t0 folded with the ·c stage
+            "c0_a0inv": fd.mul(spec, z00[0::2], xnninv[0::2]),
+            # z0inv·c_odd: second REDC's h1 coefficient on the h1 lane
+            "zc1": fd.mul(spec, z0inv, z00[1::2]),
+            # -xnninv: v0 = xnninv·e0 − xnninv·u0 (fftree.rs:215-219)
+            "neg_xnninv": fd.neg(spec, xnninv),
+        }
+        for name, arr in derived.items():
+            off[f"{name}_{k}"] = cursor
+            rows.append(arr)
+            cursor += arr.shape[0]
+    return jnp.concatenate(rows, axis=0), off
+
+
+# ------------------------------------------------------------- schedules
+
+
+class _Builder:
+    """Accumulates schedule steps; default row is a passthrough."""
+
+    def __init__(self, W: int):
+        self.W = W
+        self.steps = []
+
+    def new_step(self):
+        W = self.W
+        ar = np.full(W, ONE, np.int32)
+        g1 = np.arange(W, dtype=np.int32)
+        br = np.full(W, ZERO, np.int32)
+        g2 = np.arange(W, dtype=np.int32)
+        self.steps.append((ar, g1, br, g2))
+        return self.steps[-1]
+
+    def arrays(self):
+        a = np.stack([s[0] for s in self.steps])
+        g1 = np.stack([s[1] for s in self.steps])
+        b = np.stack([s[2] for s in self.steps])
+        g2 = np.stack([s[3] for s in self.steps])
+        return a, g1, b, g2
+
+
+def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
+    """Butterfly steps of EXTEND over tree size k on a packed region.
+
+    ``region(j, i) -> global position`` maps (block j, offset i < k/2);
+    the first down-step reads from ``src_region`` (defaults to region) —
+    used to fold lane-to-lane copies into the first butterfly. Blocks
+    share coefficients (ops/core.py::extend).
+    """
+    bs = k // 2
+    if bs == 1:
+        return  # size-1 extend is the identity (fftree.rs:74-76)
+    logm = _ilog2(bs)
+    key = "s0" if moiety == S0 else "s1"
+    dec_off = off[f"dec_{key}_{k}"]
+    rec_off = off[f"rec_{key}_{k}"]
+    nblocks = bld.nblocks
+    for d in range(logm):
+        half = bs >> (d + 1)
+        ar, g1, br, g2 = bld.new_step()
+        src = src_region if (d == 0 and src_region is not None) else region
+        for j in range(nblocks):
+            for i in range(bs):
+                p = region(j, i)
+                ar[p] = dec_off + (d * bs + i) * 2 + 0
+                br[p] = dec_off + (d * bs + i) * 2 + 1
+                g1[p] = src(j, i)
+                g2[p] = src(j, i ^ half)
+    for d in reversed(range(logm)):
+        half = bs >> (d + 1)
+        ar, g1, br, g2 = bld.new_step()
+        for j in range(nblocks):
+            for i in range(bs):
+                p = region(j, i)
+                ar[p] = rec_off + (d * bs + i) * 2 + 0
+                br[p] = rec_off + (d * bs + i) * 2 + 1
+                g1[p] = region(j, i)
+                g2[p] = region(j, i ^ half)
+
+
+def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
+    """Standalone EXTEND/MEXTEND of an m-point input (tree size 2m).
+
+    State width m+1 (const-one slot feeds MEXTEND's +Z table term,
+    fftree.rs:128-135)."""
+    off = tree.pool_offsets
+    W = m + 1
+    bld = _Builder(W)
+    bld.nblocks = 1
+    region = lambda j, i: i  # noqa: E731
+    _emit_extend(bld, off, 2 * m, moiety, region)
+    if mextend:
+        zkey = "z0_s1" if moiety == S1 else "z1_s0"
+        zoff = off[f"{zkey}_{2 * m}"]
+        ar, g1, br, g2 = bld.new_step()
+        for i in range(m):
+            br[i] = zoff + i
+            g2[i] = m  # const-one slot
+    return bld.arrays()
+
+
+def enter_schedule(tree, n: int):
+    """ENTER as a schedule (fftree.rs:143-167): per block size k, fold the
+    lane copy into depth-0 butterflies on the scratch lane, then one
+    combine step interleaving U + X^(k/2)·V."""
+    off = tree.pool_offsets
+    W = 2 * n + 1
+    bld = _Builder(W)
+    size = 2
+    while size <= n:
+        k, bs = size, size // 2
+        bld.nblocks = n // bs  # every block extends (u and v alike)
+        region = lambda j, i: n + j * bs + i  # noqa: E731
+        src = lambda j, i: j * bs + i  # noqa: E731
+        _emit_extend(bld, off, k, S1, region, src_region=src)
+        # combine (fftree.rs:155-159)
+        xnn_off = off[f"xnn_s_{k}"]
+        ar, g1, br, g2 = bld.new_step()
+        for j in range(n // k):
+            for r in range(k):
+                i = r // 2
+                p = j * k + r
+                if r % 2 == 0:
+                    g1[p] = j * k + i
+                    g2[p] = j * k + bs + i
+                else:
+                    # u1/v1 from the scratch lane (lane0 when bs == 1:
+                    # the size-1 extend was the identity)
+                    base = 0 if bs == 1 else n
+                    g1[p] = base + j * k + i
+                    g2[p] = base + j * k + bs + i
+                br[p] = xnn_off + r
+        size *= 2
+    return bld.arrays()
+
+
+def exit_schedule(tree, n: int):
+    """EXIT as a schedule (fftree.rs:200-230): per level k (n down to 2),
+    MOD by X^(k/2) = REDC ∘ (·c) ∘ REDC with the ·c and a₀⁻¹ stages fused
+    into pool coefficients, then the u0/v0 split. Scratch lane regions:
+    Sa = first half of each block, Sb = second half.
+    """
+    off = tree.pool_offsets
+    W = 2 * n + 1
+    bld = _Builder(W)
+    k = n
+    while k >= 2:
+        bs = k // 2
+        nb = n // k
+        bld.nblocks = nb
+        sa = lambda j, i: n + j * k + i  # noqa: E731
+        sb = lambda j, i: n + j * k + bs + i  # noqa: E731
+        lane0 = lambda j, i: j * k + i  # noqa: E731
+        a0inv = off[f"xnn_s_inv_{k}"]  # even entries via stride-2 index
+        z0inv = off[f"z0_inv_s1_{k}"]
+        negaz = off[f"neg_a1_z0inv_{k}"]
+        c0a0 = off[f"c0_a0inv_{k}"]
+        zc1 = off[f"zc1_{k}"]
+        xnninv = off[f"xnn_s_inv_{k}"]
+        negxi = off[f"neg_xnninv_{k}"]
+
+        # -- REDC 1 (moiety S0, a = xnn) --
+        # t0 = e0·a0inv  → Sa   (fftree.rs:238)
+        ar, g1, br, g2 = bld.new_step()
+        for j in range(nb):
+            for i in range(bs):
+                p = sa(j, i)
+                ar[p] = a0inv + 2 * i
+                g1[p] = lane0(j, 2 * i)
+        # g1v = extend(t0, S1) on Sa
+        _emit_extend(bld, off, k, S1, sa)
+        # h1 = z0inv·e1 + negaz·g1v → Sb  (fftree.rs:253-255)
+        ar, g1, br, g2 = bld.new_step()
+        for j in range(nb):
+            for i in range(bs):
+                p = sb(j, i)
+                ar[p] = z0inv + i
+                g1[p] = lane0(j, 2 * i + 1)
+                br[p] = negaz + i
+                g2[p] = sa(j, i)
+        # h0 = extend(h1, S0): read Sb, work in Sa (h1 must survive)
+        _emit_extend(bld, off, k, S0, sa, src_region=sb)
+        h0_region, h1_region = (sa, sb) if bs > 1 else (sb, sb)
+
+        # -- fuse ·c and REDC 2 (fftree.rs:277-281) --
+        # t0' = (h0·c_even)·a0inv = c0a0·h0 → Sa
+        ar, g1, br, g2 = bld.new_step()
+        for j in range(nb):
+            for i in range(bs):
+                p = sa(j, i)
+                ar[p] = c0a0 + i
+                g1[p] = h0_region(j, i)
+        _emit_extend(bld, off, k, S1, sa)
+        # h1' = zc1·h1 + negaz·g1v' → Sb
+        ar, g1, br, g2 = bld.new_step()
+        for j in range(nb):
+            for i in range(bs):
+                p = sb(j, i)
+                ar[p] = zc1 + i
+                g1[p] = h1_region(j, i)
+                br[p] = negaz + i
+                g2[p] = sa(j, i)
+        _emit_extend(bld, off, k, S0, sa, src_region=sb)
+        u0_region = sa if bs > 1 else sb
+
+        # -- split: a-half = u0, b-half = (e0 − u0)·xnninv_even --
+        # (fftree.rs:206-221; u0 = MOD's even entries = h0')
+        ar, g1, br, g2 = bld.new_step()
+        for j in range(nb):
+            for i in range(bs):
+                p = j * k + i
+                g1[p] = u0_region(j, i)
+                p = j * k + bs + i
+                ar[p] = xnninv + 2 * i
+                g1[p] = lane0(j, 2 * i)
+                br[p] = negxi + 2 * i
+                g2[p] = u0_region(j, i)
+        k //= 2
+    return bld.arrays()
+
+
+def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
+    """Standalone MOD (or single REDC) by a = X^(k/2) with the canonical
+    c = z0z0 table (the fftree.rs:286-289 public entry specialized to the
+    precomputed-modulus case). Output replaces the value lane with the
+    interleaved (h0', h1') table.
+    """
+    off = tree.pool_offsets
+    n = k
+    W = 2 * n + 1
+    bld = _Builder(W)
+    bs = k // 2
+    bld.nblocks = 1
+    sa = lambda j, i: n + i  # noqa: E731
+    sb = lambda j, i: n + bs + i  # noqa: E731
+    lane0 = lambda j, i: i  # noqa: E731
+    a0inv = off[f"xnn_s_inv_{k}"]
+    z0inv = off[f"z0_inv_s1_{k}"] if moiety == S0 else off[f"z1_inv_s0_{k}"]
+    negaz = off[f"neg_a1_z0inv_{k}"]
+    c0a0 = off[f"c0_a0inv_{k}"]
+    zc1 = off[f"zc1_{k}"]
+
+    ar, g1, br, g2 = bld.new_step()
+    for i in range(bs):
+        p = sa(0, i)
+        ar[p] = a0inv + 2 * i
+        g1[p] = lane0(0, 2 * i)
+    _emit_extend(bld, off, k, S1 if moiety == S0 else S0, sa)
+    ar, g1, br, g2 = bld.new_step()
+    for i in range(bs):
+        p = sb(0, i)
+        ar[p] = z0inv + i
+        g1[p] = lane0(0, 2 * i + 1)
+        br[p] = negaz + i
+        g2[p] = sa(0, i)
+    _emit_extend(bld, off, k, moiety, sa, src_region=sb)
+    h0_region, h1_region = (sa, sb) if bs > 1 else (sb, sb)
+    if not redc_only:
+        ar, g1, br, g2 = bld.new_step()
+        for i in range(bs):
+            p = sa(0, i)
+            ar[p] = c0a0 + i
+            g1[p] = h0_region(0, i)
+        _emit_extend(bld, off, k, S1, sa)
+        ar, g1, br, g2 = bld.new_step()
+        for i in range(bs):
+            p = sb(0, i)
+            ar[p] = zc1 + i
+            g1[p] = h1_region(0, i)
+            br[p] = negaz + i
+            g2[p] = sa(0, i)
+        _emit_extend(bld, off, k, S0, sa, src_region=sb)
+        h0_region = sa if bs > 1 else sb
+        h1_region = sb
+    # interleave result back onto the value lane
+    ar, g1, br, g2 = bld.new_step()
+    for i in range(bs):
+        g1[2 * i] = h0_region(0, i)
+        g1[2 * i + 1] = h1_region(0, i)
+    return bld.arrays()
+
+
+# --------------------------------------------------------------- runtime
+
+
+@partial(jax.jit, static_argnums=(0,))
+def run_schedule(spec: FieldSpec, pool, sched, x):
+    """Execute a schedule: ONE scan, one compile per (W, steps, batch).
+
+    ``x``: (W, B, L) state; ``sched`` = (a_idx, g1, b_idx, g2) each
+    (steps, W) int32; ``pool``: (P, L).
+    """
+
+    def body(state, inp):
+        a_i, g1, b_i, g2 = inp
+        A = jnp.take(pool, a_i, axis=0)[:, None, :]  # (W, 1, L)
+        Bc = jnp.take(pool, b_i, axis=0)[:, None, :]
+        x1 = jnp.take(state, g1, axis=0)
+        x2 = jnp.take(state, g2, axis=0)
+        out = fd.add(spec, fd.mul(spec, A, x1), fd.mul(spec, Bc, x2))
+        return out, None
+
+    out, _ = jax.lax.scan(body, x, sched)
+    return out
+
+
+def to_state(batch_arr, W: int):
+    """(B, m, L) batch → (W, B, L) state with const-one tail slots."""
+    B, m, L = batch_arr.shape
+    x = jnp.transpose(batch_arr, (1, 0, 2))  # (m, B, L)
+    pad = jnp.zeros((W - m, B, L), jnp.uint32)
+    if W > m:
+        one = jnp.zeros((1, B, L), jnp.uint32).at[..., 0].set(1)
+        pad = jnp.concatenate([pad[: W - m - 1], one], axis=0)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def from_state(state, m: int):
+    """(W, B, L) state → (B, m, L) values from the value lane."""
+    return jnp.transpose(state[:m], (1, 0, 2))
