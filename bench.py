@@ -30,9 +30,9 @@ def log(*a):
 
 
 FIELD = os.environ.get("ECFFT_BENCH_FIELD", "secp256k1")
-N = int(os.environ.get("ECFFT_BENCH_N", str(1 << 14)))
-BATCH = int(os.environ.get("ECFFT_BENCH_BATCH", "64"))
-REPS = int(os.environ.get("ECFFT_BENCH_REPS", "3"))
+N = int(os.environ.get("ECFFT_BENCH_N", str(1 << 12)))
+BATCH = int(os.environ.get("ECFFT_BENCH_BATCH", "128"))
+REPS = int(os.environ.get("ECFFT_BENCH_REPS", "5"))
 
 
 def main():
@@ -99,11 +99,36 @@ def main():
     out.block_until_ready()
     log(f"first call (compile+run): {time.time()-t0:.1f}s")
 
+    # correctness gate: TPU result must match the native engine bit-for-bit
+    import random as _r
+
+    spec_p = spec.p
+    check = [int(spec.from_limbs(l)) for l in np.asarray(coeffs[0])]
+    from ecfft_tpu.native import NativeFFTree as _NT
+
+    nt_check = _NT(FIELD, N)
+    expected0 = nt_check.enter(check)
+    got0 = [int(v) for v in tree.decode(out[0])]
+    assert got0 == expected0, "TPU ENTER does not match the native engine"
+    log("correctness gate passed (TPU == native, poly 0)")
+
+    # fresh inputs every rep so no caching effect can flatter the number;
+    # timing ends at a host readback of a result element — under this
+    # environment's remote-execution tunnel, block_until_ready alone was
+    # observed not to fence reliably
     times = []
-    for _ in range(REPS):
+    for rep in range(REPS):
+        fresh = rng.randint(0, 1 << 16, size=(BATCH, N, L)).astype(np.uint32)
+        if L > 1:
+            fresh[..., -1] = rng.randint(0, top, size=(BATCH, N))
+        else:
+            fresh = rng.randint(0, spec.p, size=(BATCH, N, 1)).astype(np.uint32)
+        fresh = jax.device_put(fresh, jax.devices()[0])
+        fresh.block_until_ready()
+        np.asarray(fresh[0, 0])  # fence the upload
         t0 = time.time()
-        out = tree.enter(coeffs)
-        out.block_until_ready()
+        out = tree.enter(fresh)
+        np.asarray(out[rep % BATCH, rep % N])  # fence: forces execution
         times.append(time.time() - t0)
     best = min(times)
     polys_per_sec = BATCH / best

@@ -367,15 +367,15 @@ class FFTree:
             self._scheds[key] = tuple(jnp.asarray(a) for a in builder())
         return self._scheds[key]
 
-    def _run_sched(self, sched, batch, m_out: int, W: int):
+    def _run_sched(self, sched, batch, m_out: int, one_pos: int):
         """Run a schedule on a (..., m, L) batch; returns (..., m_out, L)."""
         from ecfft_tpu.ops import schedule as sch
 
         lead = batch.shape[:-2]
         flat = batch.reshape((-1,) + batch.shape[-2:])
-        x = sch.to_state(flat, W)
-        out = sch.run_schedule(self.spec, self._pool, sched, x)
-        res = sch.from_state(out, m_out)
+        use_pallas = jax.default_backend() == "tpu"
+        res = sch.run_schedule(self.spec, self._pool, sched, flat,
+                               one_pos, m_out, use_pallas)
         return res.reshape(lead + res.shape[-2:])
 
     # ---------------------------------------------------------- algorithms
@@ -394,7 +394,7 @@ class FFTree:
         self._size_check(m * 2)
         s = self._schedule(("extend", m, moiety),
                            lambda: sch.extend_schedule(self, m, moiety))
-        return self._run_sched(s, evals, m, m + 1)
+        return self._run_sched(s, evals, m, m)
 
     def mextend(self, evals, moiety: int = S1):
         """EXTEND for monic polys of degree exactly m (fftree.rs:138-141)."""
@@ -406,7 +406,7 @@ class FFTree:
             ("mextend", m, moiety),
             lambda: sch.extend_schedule(self, m, moiety, mextend=True),
         )
-        return self._run_sched(s, evals, m, m + 1)
+        return self._run_sched(s, evals, m, m)
 
     def enter(self, coeffs):
         """Coefficients → evaluations (fftree.rs:164-167)."""
@@ -415,7 +415,7 @@ class FFTree:
         n = coeffs.shape[-2]
         self._size_check(n)
         s = self._schedule(("enter", n), lambda: sch.enter_schedule(self, n))
-        return self._run_sched(s, coeffs, n, 2 * n + 1)
+        return self._run_sched(s, coeffs, n, 2 * n)
 
     def exit(self, evals):
         """Evaluations → coefficients (fftree.rs:227-230)."""
@@ -424,7 +424,7 @@ class FFTree:
         n = evals.shape[-2]
         self._size_check(n)
         s = self._schedule(("exit", n), lambda: sch.exit_schedule(self, n))
-        return self._run_sched(s, evals, n, 2 * n + 1)
+        return self._run_sched(s, evals, n, 2 * n)
 
     def extend_unscheduled(self, evals, moiety: int = S1):
         m = evals.shape[-2]

@@ -434,6 +434,34 @@ def inv(spec: FieldSpec, a):
     return jnp.where(is_zero, jnp.zeros_like(r), r)
 
 
+def muladd2(spec: FieldSpec, a1, x1, a2, x2):
+    """Fused a1·x1 + a2·x2 — the schedule-machine step primitive.
+
+    Column sums of both products are added BEFORE the fold/normalize
+    chain (columns < 2·L·2^16 < 2^22, still uint32-safe), so the whole
+    affine step costs one reduction instead of two muls plus an add —
+    roughly 3× fewer normalization passes over the state.
+    """
+    if _is_m31(spec):
+        return _m31_add(_m31_mul(a1, x1), _m31_mul(a2, x2))
+    L = spec.num_limbs
+    if spec.fold_terms is None:
+        return _gen_add(spec, _mont_mul_scan(spec, a1, x1),
+                        _mont_mul_scan(spec, a2, x2))
+    # fold-digit bound for the doubled columns: Σd·2^22 must stay < 2^32
+    assert sum(d for _, d in spec.fold_terms) < (1 << 10), (
+        "fold digits too large for the fused path; use mul+add"
+    )
+    c = _conv_columns(a1, x1, L) + _conv_columns(a2, x2, L)
+    c = _carry_normalize(_fold(c, spec))
+    c = _carry_normalize(_fold(c, spec))
+    slack = 16 * L - spec.p.bit_length()
+    if slack == 0:
+        top = c[..., L:].sum(axis=-1, dtype=jnp.uint32)
+        return _cond_sub_p(spec, c[..., :L], top)
+    return _reduce_slack(spec, c[..., : L + 1])
+
+
 def eq(spec: FieldSpec, a, b):
     """Elementwise equality, reduced over the limb axis."""
     return jnp.all(a == b, axis=-1)

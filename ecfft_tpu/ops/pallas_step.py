@@ -1,0 +1,130 @@
+"""Pallas TPU kernel for the schedule-machine step: fused muladd2.
+
+The step primitive out = A·x1 + B·x2 over (W, L, B) limb states costs
+~135 whole-tensor u32 ops in XLA, and XLA:TPU does not fuse long uint32
+elementwise chains — measured ~76 ms/step at (8193, 16, 128), i.e. every
+op is a full HBM round trip. This kernel performs the entire pipeline —
+shift-accumulate limb convolution of both products, pseudo-Mersenne
+folds, exact ripple carry normalization, and the conditional-subtract
+chain — inside VMEM, so each step reads x1/x2 and writes the output once
+(~0.4 ms of traffic at those shapes) with all intermediate columns living
+in registers/VMEM.
+
+Layout: limbs on sublanes, batch on lanes (B a multiple of 128 for full
+lanes). The serial carry ripple is fine here: it's VPU-register work, not
+HBM passes, and exactness is what matters (no float anywhere).
+
+The gathers of the affine step (x[g1], x[g2], pool rows) stay in XLA —
+they measured fast (0.4 ms/step) and Mosaic's gather support is limited.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ecfft_tpu.fields.registry import FieldSpec
+
+MASK16 = 0xFFFF  # python int: jnp scalars become captured consts in pallas
+
+
+def _make_kernel(spec: FieldSpec):
+    L = spec.num_limbs
+    fold_terms = spec.fold_terms
+    assert fold_terms is not None and sum(d for _, d in fold_terms) < (1 << 10)
+    slack = 16 * L - spec.p.bit_length()
+    js = [0] if slack == 0 else list(range(slack + 1, -1, -1))
+    W1 = L + 1
+    comps = [
+        tuple(((1 << (16 * W1)) - (spec.p << j)) >> (16 * i) & 0xFFFF
+              for i in range(W1))
+        for j in js
+    ]
+
+    def ripple(cols):
+        """Exact serial carry propagation; returns canonical cols + top."""
+        out = []
+        carry = jnp.zeros_like(cols[0])
+        for c in cols:
+            v = c + carry
+            out.append(v & MASK16)
+            carry = v >> 16
+        out.append(carry)
+        return out
+
+    def fold(cols):
+        """cols (list, width > L) → width max(L, off+hw) via fold terms."""
+        w = len(cols)
+        hw = w - L
+        out_w = max(L, max(off for off, _ in fold_terms) + hw)
+        out = [None] * out_w
+        for k in range(out_w):
+            out[k] = cols[k] if k < L else jnp.zeros_like(cols[0])
+        for off, digit in fold_terms:
+            # plain python-int scalars: jnp constants would be captured
+            # consts, which pallas_call rejects
+            for t in range(hw):
+                out[off + t] = out[off + t] + cols[L + t] * digit
+        return out
+
+    def kernel(a_ref, b_ref, x1_ref, x2_ref, o_ref):
+        a = a_ref[...]  # (TW, L)
+        b = b_ref[...]
+        x1 = x1_ref[...]  # (TW, L, B)
+        x2 = x2_ref[...]
+        # shift-accumulate convolution of both products, columns < 2^22
+        cols = [
+            jnp.zeros(x1.shape[:1] + x1.shape[2:], jnp.uint32)
+            for _ in range(2 * L)
+        ]
+        for i in range(L):
+            # broadcast the i-th coefficient limb (TW, 1, 1) over (TW, L, B)
+            p1 = a[:, i][:, None, None] * x1
+            p2 = b[:, i][:, None, None] * x2
+            lo = (p1 & MASK16) + (p2 & MASK16)
+            hi = (p1 >> 16) + (p2 >> 16)
+            for j in range(L):
+                cols[i + j] = cols[i + j] + lo[:, j, :]
+                cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
+        c = ripple(fold(cols))
+        c = ripple(fold(c))
+        x = c[:W1]
+        for comp in comps:
+            s = [x[i] + comp[i] for i in range(W1)]
+            y = ripple(s)
+            need = y[W1] > 0
+            x = [jnp.where(need, y[i], x[i]) for i in range(W1)]
+        o_ref[...] = jnp.stack(x[:L], axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def pallas_muladd2(spec: FieldSpec, A, B, x1, x2, interpret: bool = False):
+    """A, B: (W, L) coefficient rows; x1, x2: (W, L, Bt) states."""
+    W, L, Bt = x1.shape
+    TW = 8
+    assert W % TW == 0, "state width must be padded to the position tile"
+    kernel = _make_kernel(spec)
+    return pl.pallas_call(
+        kernel,
+        grid=(W // TW,),
+        in_specs=[
+            pl.BlockSpec((TW, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L, Bt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L, Bt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TW, L, Bt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, L, Bt), jnp.uint32),
+        interpret=interpret,
+    )(A, B, x1, x2)

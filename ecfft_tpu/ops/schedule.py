@@ -54,18 +54,51 @@ ONE = 1   # pool row of one
 # ----------------------------------------------------------------- pool
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _build_pool_arrays(spec: FieldSpec, tables):
+    """One jitted computation for the whole pool: tiny eager ops would
+    each pay this environment's per-computation remote-compile cost."""
+    L = spec.num_limbs
+    rows = [jnp.zeros((1, L), jnp.uint32), fd.ones(spec, (1,))]
+    for k in sorted(tables):
+        t = tables[k]
+        ext = t["ext"]
+        for arr in (ext["s0"][0], ext["s0"][1], ext["s1"][0], ext["s1"][1]):
+            rows.append(arr.reshape(-1, L))
+        for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
+                     "z1_inv_s0", "z0z0_rem_xnn_s"):
+            rows.append(t[name])
+        # fused vectors for the EXIT/MOD pipeline with a = X^(k/2),
+        # c = <Z0² mod a ≀ S> (fftree.rs:200-289)
+        xnn = t["xnn_s"]
+        xnninv = t["xnn_s_inv"]
+        z0inv = t["z0_inv_s1"]
+        z00 = t["z0z0_rem_xnn_s"]
+        rows.append(fd.neg(spec, fd.mul(spec, xnn[1::2], z0inv)))
+        rows.append(fd.mul(spec, z00[0::2], xnninv[0::2]))
+        rows.append(fd.mul(spec, z0inv, z00[1::2]))
+        rows.append(fd.neg(spec, xnninv))
+    return jnp.concatenate(rows, axis=0)
+
+
 def build_pool(tree) -> tuple[jnp.ndarray, dict]:
     """Concatenate every table row a schedule can reference into one
     (P, L) array; returns (pool, offsets). Includes fused/negated
     coefficient vectors so REDC/MOD/EXIT stages stay single-step affine.
+    Offsets are computed host-side from shapes; the array build is a
+    single jitted computation.
     """
     spec = tree.spec
-    L = spec.num_limbs
-    rows = [jnp.zeros((1, L), jnp.uint32), fd.ones(spec, (1,))]
+    tables = {
+        k: {kk: tree.tables[k][kk]
+            for kk in ("ext", "xnn_s", "xnn_s_inv", "z0_s1", "z1_s0",
+                       "z0_inv_s1", "z1_inv_s0", "z0z0_rem_xnn_s")}
+        for k in tree.tables
+    }
     off = {}
     cursor = 2
-    for k in sorted(tree.tables):
-        t = tree.tables[k]
+    for k in sorted(tables):
+        t = tables[k]
         ext = t["ext"]
         for name, arr in (
             ("dec_s0", ext["s0"][0]),
@@ -73,47 +106,32 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
             ("dec_s1", ext["s1"][0]),
             ("rec_s1", ext["s1"][1]),
         ):
-            flat = arr.reshape(-1, L)  # (logm*m*2, L) row = (d*m + i)*2 + c
             off[f"{name}_{k}"] = cursor
-            rows.append(flat)
-            cursor += flat.shape[0]
+            cursor += int(np.prod(arr.shape[:-1]))
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
                      "z1_inv_s0", "z0z0_rem_xnn_s"):
-            arr = t[name]
             off[f"{name}_{k}"] = cursor
-            rows.append(arr)
-            cursor += arr.shape[0]
-        # fused vectors for the EXIT/MOD pipeline with a = X^(k/2),
-        # c = <Z0² mod a ≀ S> (fftree.rs:200-289)
-        xnn = t["xnn_s"]
-        xnninv = t["xnn_s_inv"]
-        z0inv = t["z0_inv_s1"]
-        z00 = t["z0z0_rem_xnn_s"]
-        derived = {
-            # -(a1·z0inv): h1 = z0inv·e1 + this·g1v (fftree.rs:253-255)
-            "neg_a1_z0inv": fd.neg(spec, fd.mul(spec, xnn[1::2], z0inv)),
-            # c_even·a0inv: second REDC's t0 folded with the ·c stage
-            "c0_a0inv": fd.mul(spec, z00[0::2], xnninv[0::2]),
-            # z0inv·c_odd: second REDC's h1 coefficient on the h1 lane
-            "zc1": fd.mul(spec, z0inv, z00[1::2]),
-            # -xnninv: v0 = xnninv·e0 − xnninv·u0 (fftree.rs:215-219)
-            "neg_xnninv": fd.neg(spec, xnninv),
-        }
-        for name, arr in derived.items():
+            cursor += t[name].shape[0]
+        half = k // 2
+        for name, cnt in (("neg_a1_z0inv", half), ("c0_a0inv", half),
+                          ("zc1", half), ("neg_xnninv", k)):
             off[f"{name}_{k}"] = cursor
-            rows.append(arr)
-            cursor += arr.shape[0]
-    return jnp.concatenate(rows, axis=0), off
+            cursor += cnt
+    return _build_pool_arrays(spec, tables), off
 
 
 # ------------------------------------------------------------- schedules
 
 
 class _Builder:
-    """Accumulates schedule steps; default row is a passthrough."""
+    """Accumulates schedule steps; default row is a passthrough.
+
+    Width is rounded up to a multiple of 8 (the TPU sublane tile) so the
+    Pallas step kernel can tile the position axis; the pad rows stay
+    passthrough forever."""
 
     def __init__(self, W: int):
-        self.W = W
+        self.W = (W + 7) & ~7
         self.steps = []
 
     def new_step(self):
@@ -375,40 +393,150 @@ def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
 
 
 # --------------------------------------------------------------- runtime
+#
+# State layout (W, L, B): limbs on the sublane axis, BATCH on the lane
+# axis. With the natural (..., L) layout the 16-wide trailing dim is
+# padded to the 128-lane tile — an 8× memory bloat on every op (measured:
+# 31 ms/step at (8193, 64, 16); the roofline is ~1 ms). Batch-last keeps
+# lanes full when B is a multiple of 128 and limbs land on whole sublane
+# tiles. The step math below is the device.py pipeline re-indexed to
+# limb-axis = -2, with the conv done by shift-accumulate (no (L, L)
+# outer-product materialization) and both products of the affine step
+# summed before a single fold/normalize chain.
+
+_MASKc = jnp.uint32(0xFFFF)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def run_schedule(spec: FieldSpec, pool, sched, x):
-    """Execute a schedule: ONE scan, one compile per (W, steps, batch).
+def _normalize_cols(c):
+    """Carry-normalize along axis -2 (cols < 2^32 → canonical, width+1)."""
+    g = c >> 16
+    lo = c & _MASKc
+    zc = jnp.zeros_like(g[..., :1, :])
+    t1 = jnp.concatenate([lo, zc], -2) + jnp.concatenate([zc, g], -2)
+    g2 = (t1 >> 16).astype(bool)
+    p2 = (t1 & _MASKc) == _MASKc
 
-    ``x``: (W, B, L) state; ``sched`` = (a_idx, g1, b_idx, g2) each
-    (steps, W) int32; ``pool``: (P, L).
-    """
+    def combine(lhs, rhs):
+        gl, pl = lhs
+        gr, pr = rhs
+        return gr | (pr & gl), pr & pl
 
-    def body(state, inp):
-        a_i, g1, b_i, g2 = inp
-        A = jnp.take(pool, a_i, axis=0)[:, None, :]  # (W, 1, L)
-        Bc = jnp.take(pool, b_i, axis=0)[:, None, :]
-        x1 = jnp.take(state, g1, axis=0)
-        x2 = jnp.take(state, g2, axis=0)
-        out = fd.add(spec, fd.mul(spec, A, x1), fd.mul(spec, Bc, x2))
-        return out, None
+    G, _ = jax.lax.associative_scan(combine, (g2, p2), axis=-2)
+    carry = jnp.concatenate(
+        [jnp.zeros_like(G[..., :1, :]), G[..., :-1, :]], -2
+    ).astype(jnp.uint32)
+    return (t1 + carry) & _MASKc
 
-    out, _ = jax.lax.scan(body, x, sched)
+
+def _fold_cols(spec: FieldSpec, c):
+    """Fold columns ≥ L (axis -2) via the pseudo-Mersenne terms."""
+    L = spec.num_limbs
+    w = c.shape[-2]
+    lo = c[..., :L, :]
+    hi = c[..., L:, :]
+    hw = w - L
+    out_w = max(L, max(off for off, _ in spec.fold_terms) + hw)
+
+    def place(x, off):
+        pre = jnp.zeros((*x.shape[:-2], off, x.shape[-1]), jnp.uint32)
+        post = jnp.zeros(
+            (*x.shape[:-2], out_w - off - x.shape[-2], x.shape[-1]),
+            jnp.uint32,
+        )
+        return jnp.concatenate([pre, x, post], -2)
+
+    out = place(lo, 0)
+    for off, digit in spec.fold_terms:
+        out = out + place(hi * jnp.uint32(digit), off)
     return out
 
 
-def to_state(batch_arr, W: int):
-    """(B, m, L) batch → (W, B, L) state with const-one tail slots."""
+def _conv_cols(spec: FieldSpec, a, x):
+    """Shift-accumulate product columns: a (W, L, 1) × x (W, L, B) →
+    (W, 2L, B), every column < 2L·2^16."""
+    L = spec.num_limbs
+    c = jnp.zeros((*x.shape[:-2], 2 * L, x.shape[-1]), jnp.uint32)
+    for i in range(L):
+        prod = a[..., i : i + 1, :] * x
+        c = c.at[..., i : i + L, :].add(prod & _MASKc)
+        c = c.at[..., i + 1 : i + L + 1, :].add(prod >> 16)
+    return c
+
+
+def _muladd2_cols(spec: FieldSpec, A, x1, B, x2):
+    """Fused A·x1 + B·x2 in the (W, L, B) layout."""
+    if spec.num_limbs == 1:  # m31: plain elementwise fast path
+        return fd._m31_add(fd._m31_mul(A, x1), fd._m31_mul(B, x2))
+    L = spec.num_limbs
+    c = _conv_cols(spec, A, x1) + _conv_cols(spec, B, x2)
+    c = _normalize_cols(_fold_cols(spec, c))
+    c = _normalize_cols(_fold_cols(spec, c))
+    slack = 16 * L - spec.p.bit_length()
+    js = [0] if slack == 0 else list(range(slack + 1, -1, -1))
+    x = c[..., : L + 1, :]
+    W1 = L + 1
+    for j in js:
+        comp = jnp.asarray(
+            [((1 << (16 * W1)) - (spec.p << j)) >> (16 * i) & 0xFFFF
+             for i in range(W1)],
+            dtype=jnp.uint32,
+        )[:, None]
+        y = _normalize_cols(x + comp)
+        need = y[..., W1, :] > 0
+        x = jnp.where(need[..., None, :], y[..., :W1, :], x)
+    return x[..., :L, :]
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
+                 m_out: int, use_pallas: bool = False):
+    """Execute a schedule end-to-end in ONE jitted computation: state
+    packing, the scan, and unpacking (eager wrappers would each pay this
+    environment's per-computation compile cost).
+
+    ``batch``: (B, m, L) input; ``sched`` = (a_idx, g1, b_idx, g2) each
+    (steps, W) int32; ``pool``: (P, L). With ``use_pallas`` the fused
+    VMEM kernel (ops/pallas_step.py) replaces the XLA muladd2 pipeline —
+    gathers stay in XLA either way (they measured cheap).
+    """
+    W = sched[0].shape[1]
+    x = to_state(batch, W, one_pos)
+    pallas_ok = (
+        use_pallas
+        and spec.num_limbs > 1
+        and spec.fold_terms is not None
+        and sum(d for _, d in spec.fold_terms) < (1 << 10)
+    )
+
+    def body(state, inp):
+        a_i, g1, b_i, g2 = inp
+        x1 = jnp.take(state, g1, axis=0)
+        x2 = jnp.take(state, g2, axis=0)
+        if pallas_ok:
+            from ecfft_tpu.ops.pallas_step import pallas_muladd2
+
+            A = jnp.take(pool, a_i, axis=0)  # (W, L)
+            Bc = jnp.take(pool, b_i, axis=0)
+            out = pallas_muladd2(spec, A, Bc, x1, x2)
+        else:
+            A = jnp.take(pool, a_i, axis=0)[:, :, None]  # (W, L, 1)
+            Bc = jnp.take(pool, b_i, axis=0)[:, :, None]
+            out = _muladd2_cols(spec, A, x1, Bc, x2)
+        return out, None
+
+    out, _ = jax.lax.scan(body, x, sched)
+    return from_state(out, m_out)
+
+
+def to_state(batch_arr, W: int, one_pos: int):
+    """(B, m, L) batch → (W, L, B) state with a constant 1 at one_pos."""
     B, m, L = batch_arr.shape
-    x = jnp.transpose(batch_arr, (1, 0, 2))  # (m, B, L)
-    pad = jnp.zeros((W - m, B, L), jnp.uint32)
-    if W > m:
-        one = jnp.zeros((1, B, L), jnp.uint32).at[..., 0].set(1)
-        pad = jnp.concatenate([pad[: W - m - 1], one], axis=0)
+    x = jnp.transpose(batch_arr, (1, 2, 0))  # (m, L, B)
+    pad = jnp.zeros((W - m, L, B), jnp.uint32)
+    pad = pad.at[one_pos - m, 0, :].set(1)
     return jnp.concatenate([x, pad], axis=0)
 
 
 def from_state(state, m: int):
-    """(W, B, L) state → (B, m, L) values from the value lane."""
-    return jnp.transpose(state[:m], (1, 0, 2))
+    """(W, L, B) state → (B, m, L) values from the value lane."""
+    return jnp.transpose(state[:m], (2, 0, 1))

@@ -1,0 +1,53 @@
+"""Pallas fused-step kernel: interpret-mode exactness vs python ints
+(the TPU-compiled path is validated on hardware by bench/calibration)."""
+
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from ecfft_tpu.fields import device as fd
+from ecfft_tpu.fields.registry import FIELDS
+from ecfft_tpu.ops.pallas_step import pallas_muladd2
+
+
+def test_pallas_muladd2_matches_ints():
+    spec = FIELDS["secp256k1"]
+    p = spec.p
+    W, B = 16, 4
+    rng = random.Random(3)
+    A_i = [rng.randrange(p) for _ in range(W)]
+    B_i = [rng.randrange(p) for _ in range(W)]
+    x1_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    x2_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    A = fd.encode(spec, A_i)
+    Bc = fd.encode(spec, B_i)
+    x1 = jnp.transpose(fd.encode(spec, x1_i), (0, 2, 1))
+    x2 = jnp.transpose(fd.encode(spec, x2_i), (0, 2, 1))
+    out = pallas_muladd2(spec, A, Bc, x1, x2, True)
+    got = fd.decode(spec, jnp.transpose(out, (0, 2, 1)))
+    for w in range(W):
+        for b in range(B):
+            assert got[w][b] == (A_i[w] * x1_i[w][b] + B_i[w] * x2_i[w][b]) % p
+
+
+def test_pallas_muladd2_edge_values():
+    spec = FIELDS["secp256k1"]
+    p = spec.p
+    B = 4
+    E = [0, 1, p - 1, p - 2, p // 2, 2**16, 2**255 % p, (p - 1) // 2] * 2
+    Ae = fd.encode(spec, E)
+    x1e = jnp.transpose(fd.encode(spec, [[v] * B for v in E]), (0, 2, 1))
+    out = pallas_muladd2(spec, Ae, Ae, x1e, x1e, True)
+    got = fd.decode(spec, jnp.transpose(out, (0, 2, 1)))
+    for w, v in enumerate(E):
+        for b in range(B):
+            assert got[w][b] == 2 * v * v % p
+
+
+def test_pallas_rejects_unpadded_width():
+    spec = FIELDS["secp256k1"]
+    z = jnp.zeros((10, 16, 4), jnp.uint32)
+    c = jnp.zeros((10, 16), jnp.uint32)
+    with pytest.raises(AssertionError):
+        pallas_muladd2(spec, c, c, z, z, True)
