@@ -1,0 +1,74 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh (SURVEY §4 (e)):
+batch sharding with replicated tables must be bit-exact and leave the
+batch dim sharded."""
+
+import random
+
+import jax
+import numpy as np
+
+from ecfft_tpu.fftree import FFTree
+from ecfft_tpu.fields.registry import FIELDS
+from ecfft_tpu.host.fftree import build_host_fftree
+from ecfft_tpu.parallel.sharding import (
+    BATCH_AXIS,
+    ShardedFFTree,
+    make_mesh,
+    shard_batch,
+)
+
+_CACHE = {}
+
+
+def get():
+    if not _CACHE:
+        _CACHE["tree"] = FFTree.build("m31", 32)
+        _CACHE["host"] = build_host_fftree("m31", 32)
+    return _CACHE["tree"], _CACHE["host"]
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_enter_exit_exact():
+    tree, host = get()
+    p = FIELDS["m31"].p
+    mesh = make_mesh()
+    stree = ShardedFFTree(tree, mesh)
+    rng = random.Random(1)
+    n, B = 32, 16
+    coeffs = [[rng.randrange(p) for _ in range(n)] for _ in range(B)]
+    enc = stree.encode(coeffs)
+    evals = stree.enter(enc)
+    for b in range(B):
+        assert list(stree.decode(evals[b])) == host.enter(coeffs[b])
+    back = stree.exit(evals)
+    assert [list(r) for r in stree.decode(back)] == coeffs
+
+
+def test_batch_dim_is_sharded():
+    tree, host = get()
+    mesh = make_mesh()
+    arr = shard_batch(mesh, jax.numpy.zeros((16, 32, 1), jax.numpy.uint32))
+    # the batch axis must be split across all 8 devices
+    assert len(arr.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in arr.addressable_shards}
+    assert shard_shapes == {(2, 32, 1)}
+
+
+def test_sharded_degree_matches():
+    tree, host = get()
+    p = FIELDS["m31"].p
+    mesh = make_mesh()
+    stree = ShardedFFTree(tree, mesh)
+    rng = random.Random(2)
+    degs = [3, 17, 0, 31] * 2
+    coeffs = []
+    for d in degs:
+        c = [rng.randrange(p) for _ in range(d)] + [rng.randrange(1, p)]
+        c += [0] * (32 - len(c))
+        coeffs.append(c)
+    evals = stree.enter(stree.encode(coeffs))
+    assert list(np.asarray(stree.degree(evals))) == degs
