@@ -128,6 +128,7 @@ class GoodCurve(Curve):
     a: int
     b: int
     p: int
+    bb_override: int | None = None  # degenerate form: B given directly
 
     @staticmethod
     def new_odd(a: int, bb: int, p: int) -> "GoodCurve":
@@ -136,6 +137,12 @@ class GoodCurve(Curve):
         assert bb != 0 and (a * a - 4 * bb) % p != 0, "singular curve"
         b = sqrt_mod(bb, p)
         assert b is not None, "B must be a quadratic residue"
+        # the good-curve condition fixes the SIGN of b: pick the root
+        # with a + 2b a quadratic residue (when the 2-Sylow is cyclic
+        # exactly one of a ± 2b is — their product is the non-residue
+        # discriminant)
+        if sqrt_mod((a + 2 * b) % p, p) is None:
+            b = (-b) % p
         assert sqrt_mod((a + 2 * b) % p, p) is not None
         return GoodCurve(a, b, p)
 
@@ -143,6 +150,8 @@ class GoodCurve(Curve):
         return self.a
 
     def a4(self) -> int:
+        if self.bb_override is not None:
+            return self.bb_override
         return self.b * self.b % self.p
 
     def good_point(self) -> "Point":
@@ -153,13 +162,23 @@ class GoodCurve(Curve):
         """Closed-form 2-isogeny to the next good curve
         (/root/reference/src/ec.rs:75-88):
         codomain (a' = a+6b, B' = 4ab+8b²), x-map r = (x²−2bx+b²)/x,
-        y-map h = (x²−b²)/x²."""
+        y-map h = (x²−b²)/x².
+
+        When B' is a non-residue (possible at the tail of a chain, where
+        no rational 4-torsion remains above the kernel) the codomain
+        cannot be written in good form; a degenerate GoodCurve carrying
+        B' directly is returned — its group law is still exact, only a
+        further good_isogeny from it is impossible.
+        """
         p = self.p
         a, b = self.a, self.b
         bb = b * b % p
         a_prime = (a + 6 * b) % p
         b_prime = (4 * a * b + 8 * bb) % p
-        codomain = GoodCurve.new_odd(a_prime, b_prime, p)
+        try:
+            codomain = GoodCurve.new_odd(a_prime, b_prime, p)
+        except AssertionError:
+            codomain = GoodCurve(a_prime, 0, p, bb_override=b_prime)
         r = RationalMap((bb, (-2 * b) % p, 1), (0, 1), p)
         g = RationalMap.zero(p)
         h = RationalMap(((-bb) % p, 0, 1), (0, 0, 1), p)
@@ -283,15 +302,36 @@ def two_adicity(pt: Point, cap: int = 2048) -> int | None:
 
 def find_isogeny_chain(generator: Point) -> list[Isogeny]:
     """Chain of k good isogenies for a GoodCurve generator of order 2^k
-    (/root/reference/src/ec.rs:177-189)."""
+    (/root/reference/src/ec.rs:177-189).
+
+    Invariant maintained explicitly at every step: the curve's ``b`` label
+    equals x(P₄) for P₄ = 2^(k−2)·g, the order-4 point of ⟨g⟩. This
+    guarantees (a) the good-isogeny kernel {O, (0,0)} = ⟨2^(k−1)·g⟩ so the
+    generator's 2-adicity drops by exactly one, and (b) the codomain's
+    B' = (2·x(P₄'))² stays a perfect square. Quotient curves generically
+    acquire full rational 2-torsion, so a convention-based sqrt sign (what
+    a naive port of new_odd's re-sqrt would do) silently quotients by the
+    WRONG 2-torsion point after a step or two and the chain stalls — this
+    surfaced on find_curve-discovered curves over 2^255−19.
+    """
     k = two_adicity(generator)
     assert k is not None, "not a point of order 2^k"
     chain = []
     g = generator
-    for _ in range(k):
-        iso = g.curve.good_isogeny()
+    for i in range(k):
+        k_cur = k - i
+        curve = g.curve
+        if k_cur >= 2:
+            p4 = g * (1 << (k_cur - 2))
+            if curve.b != p4.x:
+                # same curve (x(P₄)² = B), corrected b label
+                curve = GoodCurve(curve.a, p4.x, curve.p)
+                g = Point(g.x, g.y, curve)
+        iso = curve.good_isogeny()
         g_prime = iso.map(g)
-        assert two_adicity(g) == two_adicity(g_prime) + 1
+        assert two_adicity(g) == two_adicity(g_prime) + 1, (
+            "good isogeny failed to halve the generator's order"
+        )
         chain.append(iso)
         g = g_prime
     return chain

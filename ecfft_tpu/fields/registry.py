@@ -192,7 +192,19 @@ def field_from_curve_search(name: str, p: int, k: int, rng=None) -> FieldSpec:
     from ecfft_tpu.find_curve import find_curve
 
     rng = rng or _random.Random()
-    n_adic, gen = find_curve(p, k, rng)
+    try:
+        # native search is ~1000× the python loop — practical for
+        # 256-bit primes and double-digit k
+        from ecfft_tpu.native import find_curve_native
+
+        res = find_curve_native(p, k, seed=rng.randrange(1, 1 << 63))
+    except Exception:
+        res = None
+    if res is not None:
+        n_adic, a, bb, gx, gy = res
+        gen = Point(gx, gy, GoodCurve.new_odd(a, bb, p))
+    else:
+        n_adic, gen = find_curve(p, k, rng)
     curve = gen.curve
     a, b = curve.a, curve.b
     bb = b * b % p

@@ -75,6 +75,11 @@ def lib() -> ctypes.CDLL:
                                    ctypes.c_char_p]
         _lib.ecn_mul_throughput.restype = ctypes.c_double
         _lib.ecn_mul_throughput.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        _lib.ecn_find_curve.restype = ctypes.c_uint64
+        _lib.ecn_find_curve.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                        ctypes.c_uint64, ctypes.c_uint64,
+                                        ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_char_p]
     return _lib
 
 
@@ -261,3 +266,18 @@ def mont_mul_ns(field: str = "secp256k1", iters: int = 2_000_000) -> float:
 if __name__ == "__main__":
     build_native()
     print("built", _SO)
+
+
+def find_curve_native(p: int, k: int, seed: int = 1,
+                      max_iters: int = 0):
+    """Native FIND_CURVE (find_curve.rs:224-246 at C++ speed): returns
+    (n, a, B, gen_x, gen_y) with n ≥ k the 2-adicity of the cyclic
+    2-Sylow generator, or None if max_iters exhausted. ~1000× the python
+    search throughput — practical for 256-bit primes and larger k."""
+    bufs = [ctypes.create_string_buffer(32) for _ in range(4)]
+    n = lib().ecn_find_curve(p.to_bytes(32, "little"), k, seed, max_iters,
+                             *bufs)
+    if n == 0:
+        return None
+    a, bb, x, y = (int.from_bytes(b.raw, "little") for b in bufs)
+    return int(n), a, bb, x, y

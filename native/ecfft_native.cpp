@@ -670,6 +670,233 @@ static void tree_build(Tree &T) {
   }
 }
 
+// ------------------------------------------------------ FIND_CURVE
+
+// Legendre symbol via Euler's criterion; returns 1 (QR), -1 (non), 0.
+static int fe_legendre(const FieldCtx &F, const Fe &a) {
+  if (fe_is_zero(a)) return 0;
+  // (p-1)/2: shift p right by one
+  Fe e;
+  u64 carry = 0;
+  for (int i = NL - 1; i >= 0; --i) {
+    u64 v = F.p.v[i];
+    e.v[i] = (v >> 1) | (carry << 63);
+    carry = v & 1;
+  }
+  Fe am, r;
+  to_mont(F, am, a);
+  fe_pow(F, r, am, e);
+  Fe one = F.one_m;
+  if (fe_eq(r, one)) return 1;
+  return -1;
+}
+
+// Tonelli–Shanks square root (montgomery in/out); false if non-residue.
+static bool fe_sqrt(const FieldCtx &F, Fe &out, const Fe &a) {
+  if (fe_is_zero(a)) { out = a; return true; }
+  // q, s with p-1 = q·2^s
+  Fe q = F.p;
+  q.v[0] -= 1;  // p odd, no borrow
+  int s = 0;
+  while (!(q.v[0] & 1)) {
+    u64 carry = 0;
+    for (int i = NL - 1; i >= 0; --i) {
+      u64 v = q.v[i];
+      q.v[i] = (v >> 1) | (carry << 63);
+      carry = v & 1;
+    }
+    ++s;
+  }
+  // find a non-residue z (deterministic walk)
+  Fe z;
+  std::memset(z.v, 0, sizeof(Fe));
+  z.v[0] = 2;
+  Fe zc = z;
+  while (true) {
+    if (fe_legendre(F, zc) == -1) break;
+    zc.v[0] += 1;
+  }
+  Fe zm, c, t, r, e1;
+  to_mont(F, zm, zc);
+  fe_pow(F, c, zm, q);
+  fe_pow(F, t, a, q);
+  // r = a^((q+1)/2)
+  Fe q1 = q;
+  u64 carry2 = 1;
+  for (int i = 0; i < NL && carry2; ++i) {
+    q1.v[i] += carry2;
+    carry2 = (q1.v[i] == 0);
+  }
+  u64 carry3 = 0;
+  for (int i = NL - 1; i >= 0; --i) {
+    u64 v = q1.v[i];
+    q1.v[i] = (v >> 1) | (carry3 << 63);
+    carry3 = v & 1;
+  }
+  fe_pow(F, r, a, q1);
+  int m = s;
+  while (!fe_eq(t, F.one_m)) {
+    Fe t2 = t;
+    int i = 0;
+    while (!fe_eq(t2, F.one_m)) {
+      fe_sqr(F, t2, t2);
+      ++i;
+      if (i >= m) return false;  // non-residue
+    }
+    Fe b = c;
+    for (int j = 0; j < m - i - 1; ++j) fe_sqr(F, b, b);
+    m = i;
+    fe_sqr(F, c, b);
+    fe_mul(F, t, t, c);
+    fe_mul(F, r, r, b);
+  }
+  out = r;
+  return true;
+}
+
+struct Xorshift {
+  u64 s;
+  u64 next() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return s;
+  }
+  Fe next_fe(const FieldCtx &F) {
+    Fe r;
+    while (true) {
+      for (int i = 0; i < NL; ++i) r.v[i] = next();
+      // mask to modulus bit-length, retry if >= p
+      int topbits = 64;
+      for (int i = NL - 1; i >= 0; --i) {
+        if (F.p.v[i]) { topbits = 64 - __builtin_clzll(F.p.v[i]); break; }
+        r.v[i] = 0;
+      }
+      int top_idx = NL - 1;
+      while (top_idx > 0 && F.p.v[top_idx] == 0) --top_idx;
+      if (topbits < 64)
+        r.v[top_idx] &= (1ull << topbits) - 1;
+      if (fe_cmp(r, F.p) < 0) return r;
+    }
+  }
+};
+
+// x(2P) from x(P) on y² = x(x² + ax + B) (find_curve.rs:11-19); montgomery.
+static bool fc_double_x(const FieldCtx &F, Fe &out, const Fe &px,
+                        const Fe &a, const Fe &bb) {
+  Fe pxpx, t, pypy;
+  fe_sqr(F, pxpx, px);
+  fe_mul(F, t, a, px);
+  fe_add(F, t, t, pxpx);
+  fe_add(F, t, t, bb);
+  fe_mul(F, pypy, px, t);
+  if (fe_is_zero(pypy)) return false;
+  Fe num, den, deninv;
+  fe_sub(F, num, pxpx, bb);
+  fe_sqr(F, num, num);
+  fe_add(F, den, pypy, pypy);
+  fe_add(F, den, den, den);
+  fe_inv(F, deninv, den);
+  fe_mul(F, out, num, deninv);
+  return true;
+}
+
+// roots of x² + bx + c (monic), montgomery (find_curve.rs:35-44)
+static bool fc_quad_roots(const FieldCtx &F, Fe r[2], const Fe &b,
+                          const Fe &c) {
+  Fe disc, t;
+  fe_sqr(F, disc, b);
+  fe_add(F, t, c, c);
+  fe_add(F, t, t, t);
+  fe_sub(F, disc, disc, t);
+  Fe s;
+  if (!fe_sqrt(F, s, disc)) return false;
+  // roots = (-b ± s)/2
+  Fe two, twoinv;
+  std::memset(two.v, 0, sizeof(Fe));
+  two.v[0] = 2;
+  to_mont(F, two, two);
+  fe_inv(F, twoinv, two);
+  Fe nb;
+  fe_neg(F, nb, b);
+  Fe u;
+  fe_add(F, u, nb, s);
+  fe_mul(F, r[0], u, twoinv);
+  fe_sub(F, u, nb, s);
+  fe_mul(F, r[1], u, twoinv);
+  return true;
+}
+
+// half-point x (find_curve.rs:25-31,49-56); montgomery.
+static bool fc_half_x(const FieldCtx &F, Fe &out, const Fe &qx, const Fe &a,
+                      const Fe &bb) {
+  Fe delta, t;
+  fe_sqr(F, delta, qx);
+  fe_mul(F, t, a, qx);
+  fe_add(F, delta, delta, t);
+  fe_add(F, delta, delta, bb);
+  Fe ds;
+  if (!fe_sqrt(F, ds, delta)) return false;
+  for (int i = 1; i <= 2; ++i) {
+    // x_coeff = -(2qx ± 2ds)
+    Fe xc;
+    fe_add(F, xc, qx, qx);
+    Fe dd;
+    fe_add(F, dd, ds, ds);
+    if (i == 1) fe_sub(F, xc, xc, dd);
+    else fe_add(F, xc, xc, dd);
+    fe_neg(F, xc, xc);
+    Fe roots[2];
+    if (!fc_quad_roots(F, roots, xc, bb)) continue;
+    for (int j = 0; j < 2; ++j) {
+      Fe yy, u;
+      fe_sqr(F, u, roots[j]);
+      fe_mul(F, t, a, roots[j]);
+      fe_add(F, u, u, t);
+      fe_add(F, u, u, bb);
+      fe_mul(F, yy, roots[j], u);
+      Fe dummy;
+      if (fe_sqrt(F, dummy, yy)) { out = roots[j]; return true; }
+    }
+  }
+  return false;
+}
+
+// cyclic 2-Sylow (find_curve.rs:190-218); montgomery in, returns adicity.
+static int fc_cyclic_sylow(const FieldCtx &F, Fe &gen_x, const Fe &a,
+                           const Fe &bb) {
+  Fe disc, t;
+  fe_sqr(F, disc, a);
+  fe_add(F, t, bb, bb);
+  fe_add(F, t, t, t);
+  fe_sub(F, disc, disc, t);
+  if (fe_is_zero(disc)) return 0;
+  Fe b, ds;
+  if (!fe_sqrt(F, b, bb)) return 0;
+  if (fe_sqrt(F, ds, disc)) return 0;  // disc QR -> non-cyclic
+  Fe b2, apb, amb, p4x, dummy;
+  fe_add(F, b2, b, b);
+  fe_add(F, apb, a, b2);
+  fe_sub(F, amb, a, b2);
+  if (fe_sqrt(F, dummy, apb)) p4x = b;
+  else if (fe_sqrt(F, dummy, amb)) fe_neg(F, p4x, b);
+  else return 0;  // unreachable mathematically
+  Fe dx;
+  if (!fc_double_x(F, dx, p4x, a, bb)) {
+    std::memset(gen_x.v, 0, sizeof(Fe));
+    return 1;
+  }
+  int k = 2;
+  Fe acc = p4x;
+  Fe h;
+  while (fc_half_x(F, h, acc, a, bb)) {
+    ++k;
+    acc = h;
+  }
+  gen_x = acc;
+  return k;
+}
+
 }  // namespace
 
 // ------------------------------------------------------------- C API
@@ -871,6 +1098,55 @@ u64 ecn_layer(void *t, u64 layer, u8 *out) {
   if (layer >= T->f_layers.size()) return 0;
   if (out) store_vec(T, T->f_layers[layer], out);
   return T->f_layers[layer].size();
+}
+
+// FIND_CURVE (find_curve.rs:224-246): search for a good curve with
+// 2-adicity >= k. Outputs canonical 32-byte a, B, x(gen), y(gen);
+// returns the achieved adicity n (0 on failure/timeout).
+u64 ecn_find_curve(const u8 *p_le, u64 k, u64 seed, u64 max_iters,
+                   u8 *a_out, u8 *bb_out, u8 *x_out, u8 *y_out) {
+  FieldCtx F;
+  ctx_init(F, p_le);
+  Xorshift rng{seed ? seed : 0x9E3779B97F4A7C15ull};
+  if (k < 2) k = 2;
+  for (u64 it = 0; max_iters == 0 || it < max_iters; ++it) {
+    Fe a_c = rng.next_fe(F);
+    Fe bb_c = rng.next_fe(F);
+    Fe a, bb;
+    to_mont(F, a, a_c);
+    to_mont(F, bb, bb_c);
+    if (fe_is_zero(bb)) continue;
+    Fe disc, t;
+    fe_sqr(F, disc, a);
+    fe_add(F, t, bb, bb);
+    fe_add(F, t, t, t);
+    fe_sub(F, disc, disc, t);
+    if (fe_is_zero(disc)) continue;
+    Fe gx;
+    int n = fc_cyclic_sylow(F, gx, a, bb);
+    if (n >= (int)k) {
+      // y = sqrt(x(x² + ax + B))
+      Fe yy, u;
+      fe_sqr(F, u, gx);
+      fe_mul(F, t, a, gx);
+      fe_add(F, u, u, t);
+      fe_add(F, u, u, bb);
+      fe_mul(F, yy, gx, u);
+      Fe y;
+      if (!fe_sqrt(F, y, yy)) continue;
+      Fe c;
+      from_mont(F, c, a);
+      std::memcpy(a_out, c.v, 32);
+      from_mont(F, c, bb);
+      std::memcpy(bb_out, c.v, 32);
+      from_mont(F, c, gx);
+      std::memcpy(x_out, c.v, 32);
+      from_mont(F, c, y);
+      std::memcpy(y_out, c.v, 32);
+      return (u64)n;
+    }
+  }
+  return 0;
 }
 
 // micro-benchmark hook: time raw montgomery muls (for bench baselines)
