@@ -154,10 +154,12 @@ class _Builder:
 def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
     """Butterfly steps of EXTEND over tree size k on a packed region.
 
-    ``region(j, i) -> global position`` maps (block j, offset i < k/2);
-    the first down-step reads from ``src_region`` (defaults to region) —
-    used to fold lane-to-lane copies into the first butterfly. Blocks
-    share coefficients (ops/core.py::extend).
+    ``region(j, i) -> global position`` maps (block j, offset i < k/2) and
+    must accept numpy arrays (all emitters are fully vectorized — python
+    per-position loops cost O(n log n) per schedule and dominated build
+    time beyond n=2^12); the first down-step reads from ``src_region``
+    (defaults to region), folding lane-to-lane copies into the butterfly.
+    Blocks share coefficients (ops/core.py::extend).
     """
     bs = k // 2
     if bs == 1:
@@ -167,27 +169,24 @@ def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
     dec_off = off[f"dec_{key}_{k}"]
     rec_off = off[f"rec_{key}_{k}"]
     nblocks = bld.nblocks
+    J, I = np.meshgrid(np.arange(nblocks), np.arange(bs), indexing="ij")
+    J, I = J.ravel(), I.ravel()
+    P = np.asarray(region(J, I))
     for d in range(logm):
         half = bs >> (d + 1)
         ar, g1, br, g2 = bld.new_step()
         src = src_region if (d == 0 and src_region is not None) else region
-        for j in range(nblocks):
-            for i in range(bs):
-                p = region(j, i)
-                ar[p] = dec_off + (d * bs + i) * 2 + 0
-                br[p] = dec_off + (d * bs + i) * 2 + 1
-                g1[p] = src(j, i)
-                g2[p] = src(j, i ^ half)
+        ar[P] = dec_off + (d * bs + I) * 2
+        br[P] = dec_off + (d * bs + I) * 2 + 1
+        g1[P] = src(J, I)
+        g2[P] = src(J, I ^ half)
     for d in reversed(range(logm)):
         half = bs >> (d + 1)
         ar, g1, br, g2 = bld.new_step()
-        for j in range(nblocks):
-            for i in range(bs):
-                p = region(j, i)
-                ar[p] = rec_off + (d * bs + i) * 2 + 0
-                br[p] = rec_off + (d * bs + i) * 2 + 1
-                g1[p] = region(j, i)
-                g2[p] = region(j, i ^ half)
+        ar[P] = rec_off + (d * bs + I) * 2
+        br[P] = rec_off + (d * bs + I) * 2 + 1
+        g1[P] = P
+        g2[P] = region(J, I ^ half)
 
 
 def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
@@ -205,9 +204,9 @@ def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
         zkey = "z0_s1" if moiety == S1 else "z1_s0"
         zoff = off[f"{zkey}_{2 * m}"]
         ar, g1, br, g2 = bld.new_step()
-        for i in range(m):
-            br[i] = zoff + i
-            g2[i] = m  # const-one slot
+        idx = np.arange(m)
+        br[idx] = zoff + idx
+        g2[idx] = m  # const-one slot
     return bld.arrays()
 
 
@@ -228,20 +227,16 @@ def enter_schedule(tree, n: int):
         # combine (fftree.rs:155-159)
         xnn_off = off[f"xnn_s_{k}"]
         ar, g1, br, g2 = bld.new_step()
-        for j in range(n // k):
-            for r in range(k):
-                i = r // 2
-                p = j * k + r
-                if r % 2 == 0:
-                    g1[p] = j * k + i
-                    g2[p] = j * k + bs + i
-                else:
-                    # u1/v1 from the scratch lane (lane0 when bs == 1:
-                    # the size-1 extend was the identity)
-                    base = 0 if bs == 1 else n
-                    g1[p] = base + j * k + i
-                    g2[p] = base + j * k + bs + i
-                br[p] = xnn_off + r
+        Jc, Rc = np.meshgrid(np.arange(n // k), np.arange(k), indexing="ij")
+        Jc, Rc = Jc.ravel(), Rc.ravel()
+        Ic = Rc // 2
+        P = Jc * k + Rc
+        # u1/v1 come from the scratch lane (lane0 when bs == 1: the
+        # size-1 extend was the identity)
+        base = np.where(Rc % 2 == 0, 0, 0 if bs == 1 else n)
+        g1[P] = base + Jc * k + Ic
+        g2[P] = base + Jc * k + bs + Ic
+        br[P] = xnn_off + Rc
         size *= 2
     return bld.arrays()
 
@@ -271,62 +266,54 @@ def exit_schedule(tree, n: int):
         xnninv = off[f"xnn_s_inv_{k}"]
         negxi = off[f"neg_xnninv_{k}"]
 
+        J, I = np.meshgrid(np.arange(nb), np.arange(bs), indexing="ij")
+        J, I = J.ravel(), I.ravel()
+        SA, SB = np.asarray(sa(J, I)), np.asarray(sb(J, I))
+
         # -- REDC 1 (moiety S0, a = xnn) --
         # t0 = e0·a0inv  → Sa   (fftree.rs:238)
         ar, g1, br, g2 = bld.new_step()
-        for j in range(nb):
-            for i in range(bs):
-                p = sa(j, i)
-                ar[p] = a0inv + 2 * i
-                g1[p] = lane0(j, 2 * i)
+        ar[SA] = a0inv + 2 * I
+        g1[SA] = lane0(J, 2 * I)
         # g1v = extend(t0, S1) on Sa
         _emit_extend(bld, off, k, S1, sa)
         # h1 = z0inv·e1 + negaz·g1v → Sb  (fftree.rs:253-255)
         ar, g1, br, g2 = bld.new_step()
-        for j in range(nb):
-            for i in range(bs):
-                p = sb(j, i)
-                ar[p] = z0inv + i
-                g1[p] = lane0(j, 2 * i + 1)
-                br[p] = negaz + i
-                g2[p] = sa(j, i)
+        ar[SB] = z0inv + I
+        g1[SB] = lane0(J, 2 * I + 1)
+        br[SB] = negaz + I
+        g2[SB] = SA
         # h0 = extend(h1, S0): read Sb, work in Sa (h1 must survive)
         _emit_extend(bld, off, k, S0, sa, src_region=sb)
         h0_region, h1_region = (sa, sb) if bs > 1 else (sb, sb)
+        H0 = np.asarray(h0_region(J, I))
+        H1 = np.asarray(h1_region(J, I))
 
         # -- fuse ·c and REDC 2 (fftree.rs:277-281) --
         # t0' = (h0·c_even)·a0inv = c0a0·h0 → Sa
         ar, g1, br, g2 = bld.new_step()
-        for j in range(nb):
-            for i in range(bs):
-                p = sa(j, i)
-                ar[p] = c0a0 + i
-                g1[p] = h0_region(j, i)
+        ar[SA] = c0a0 + I
+        g1[SA] = H0
         _emit_extend(bld, off, k, S1, sa)
         # h1' = zc1·h1 + negaz·g1v' → Sb
         ar, g1, br, g2 = bld.new_step()
-        for j in range(nb):
-            for i in range(bs):
-                p = sb(j, i)
-                ar[p] = zc1 + i
-                g1[p] = h1_region(j, i)
-                br[p] = negaz + i
-                g2[p] = sa(j, i)
+        ar[SB] = zc1 + I
+        g1[SB] = H1
+        br[SB] = negaz + I
+        g2[SB] = SA
         _emit_extend(bld, off, k, S0, sa, src_region=sb)
-        u0_region = sa if bs > 1 else sb
+        U0 = np.asarray((sa if bs > 1 else sb)(J, I))
 
         # -- split: a-half = u0, b-half = (e0 − u0)·xnninv_even --
         # (fftree.rs:206-221; u0 = MOD's even entries = h0')
         ar, g1, br, g2 = bld.new_step()
-        for j in range(nb):
-            for i in range(bs):
-                p = j * k + i
-                g1[p] = u0_region(j, i)
-                p = j * k + bs + i
-                ar[p] = xnninv + 2 * i
-                g1[p] = lane0(j, 2 * i)
-                br[p] = negxi + 2 * i
-                g2[p] = u0_region(j, i)
+        PA = J * k + I
+        PB = J * k + bs + I
+        g1[PA] = U0
+        ar[PB] = xnninv + 2 * I
+        g1[PB] = lane0(J, 2 * I)
+        br[PB] = negxi + 2 * I
+        g2[PB] = U0
         k //= 2
     return bld.arrays()
 
@@ -352,43 +339,37 @@ def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
     c0a0 = off[f"c0_a0inv_{k}"]
     zc1 = off[f"zc1_{k}"]
 
+    I = np.arange(bs)
+    Z = np.zeros(bs, dtype=np.int64)
+    SA, SB = np.asarray(sa(Z, I)), np.asarray(sb(Z, I))
     ar, g1, br, g2 = bld.new_step()
-    for i in range(bs):
-        p = sa(0, i)
-        ar[p] = a0inv + 2 * i
-        g1[p] = lane0(0, 2 * i)
+    ar[SA] = a0inv + 2 * I
+    g1[SA] = lane0(Z, 2 * I)
     _emit_extend(bld, off, k, S1 if moiety == S0 else S0, sa)
     ar, g1, br, g2 = bld.new_step()
-    for i in range(bs):
-        p = sb(0, i)
-        ar[p] = z0inv + i
-        g1[p] = lane0(0, 2 * i + 1)
-        br[p] = negaz + i
-        g2[p] = sa(0, i)
+    ar[SB] = z0inv + I
+    g1[SB] = lane0(Z, 2 * I + 1)
+    br[SB] = negaz + I
+    g2[SB] = SA
     _emit_extend(bld, off, k, moiety, sa, src_region=sb)
     h0_region, h1_region = (sa, sb) if bs > 1 else (sb, sb)
     if not redc_only:
         ar, g1, br, g2 = bld.new_step()
-        for i in range(bs):
-            p = sa(0, i)
-            ar[p] = c0a0 + i
-            g1[p] = h0_region(0, i)
+        ar[SA] = c0a0 + I
+        g1[SA] = np.asarray(h0_region(Z, I))
         _emit_extend(bld, off, k, S1, sa)
         ar, g1, br, g2 = bld.new_step()
-        for i in range(bs):
-            p = sb(0, i)
-            ar[p] = zc1 + i
-            g1[p] = h1_region(0, i)
-            br[p] = negaz + i
-            g2[p] = sa(0, i)
+        ar[SB] = zc1 + I
+        g1[SB] = np.asarray(h1_region(Z, I))
+        br[SB] = negaz + I
+        g2[SB] = SA
         _emit_extend(bld, off, k, S0, sa, src_region=sb)
         h0_region = sa if bs > 1 else sb
         h1_region = sb
     # interleave result back onto the value lane
     ar, g1, br, g2 = bld.new_step()
-    for i in range(bs):
-        g1[2 * i] = h0_region(0, i)
-        g1[2 * i + 1] = h1_region(0, i)
+    g1[2 * I] = np.asarray(h0_region(Z, I))
+    g1[2 * I + 1] = np.asarray(h1_region(Z, I))
     return bld.arrays()
 
 

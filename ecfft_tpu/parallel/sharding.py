@@ -90,6 +90,15 @@ class ShardedFFTree:
     def vanish(self, points):
         return self._call(self.tree.vanish, points)
 
+    def redc_z0(self, evals, a):
+        return self._call(self.tree.redc_z0, evals, a)
+
+    def redc_z1(self, evals, a):
+        return self._call(self.tree.redc_z1, evals, a)
+
+    def modular_reduce(self, evals, a, c):
+        return self._call(self.tree.modular_reduce, evals, a, c)
+
     def encode(self, values):
         return self.tree.encode(values)
 
