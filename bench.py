@@ -52,7 +52,8 @@ def main():
     base_cache = os.path.join(here, f".bench_base_{FIELD}_{N}.json")
     if os.path.exists(cache) and os.path.exists(base_cache):
         log("loading cached tree", cache)
-        tree = load_tables_npz(cache)
+        with jax.default_device(jax.devices("cpu")[0]):
+            tree = load_tables_npz(cache)
         with open(base_cache) as f:
             native_enter_s = json.load(f)["native_enter_s"]
     else:
@@ -79,7 +80,11 @@ def main():
             json.dump({"native_enter_s": native_enter_s}, f)
         del nt
     log(f"native single-core ENTER: {native_enter_s:.3f}s/poly")
-    tree.tables = jax.device_put(tree.tables, jax.devices()[0])
+    # pool + schedules build on CPU (fast, persistently cached), then move
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        tree.prepare((N,))
+    tree.place_on(jax.devices()[0])
 
     spec = ec.FIELDS[FIELD]
     L = spec.num_limbs

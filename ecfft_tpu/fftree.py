@@ -367,6 +367,28 @@ class FFTree:
             self._scheds[key] = tuple(jnp.asarray(a) for a in builder())
         return self._scheds[key]
 
+    def prepare(self, sizes: tuple | None = None):
+        """Build the coefficient pool and the ENTER/EXIT schedules ahead
+        of time (ideally while tables still live on CPU — building them
+        eagerly on the TPU pays per-op remote-compile costs)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        self._ensure_pool()
+        for n in sizes or (self.n,):
+            self._schedule(("enter", n), lambda: sch.enter_schedule(self, n))
+            self._schedule(("exit", n), lambda: sch.exit_schedule(self, n))
+        return self
+
+    def place_on(self, device):
+        """Move tables, pool and schedules to ``device``."""
+        self.tables = jax.device_put(self.tables, device)
+        if hasattr(self, "_pool"):
+            self._pool = jax.device_put(self._pool, device)
+            self._scheds = {
+                k: jax.device_put(v, device) for k, v in self._scheds.items()
+            }
+        return self
+
     def _run_sched(self, sched, batch, m_out: int, one_pos: int):
         """Run a schedule on a (..., m, L) batch; returns (..., m_out, L)."""
         from ecfft_tpu.ops import schedule as sch
