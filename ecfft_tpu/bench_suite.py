@@ -48,6 +48,23 @@ def main(argv=None):
 
     if args.comparison:
         args.field, args.n = "secp256k1", 8192
+        # the classical-FFT side of benches/comparison.rs: radix-2 NTT on
+        # the 2-adic STARK prime, same n, same batch, same interpreter
+        from ecfft_tpu.ntt import NTTPlan
+
+        plan = NTTPlan(args.n)
+        rngc = random.Random(1)
+        vals_ntt = [[rngc.randrange(plan.p) for _ in range(args.n)]
+                    for _ in range(args.batch)]
+        enc_ntt = plan.encode(vals_ntt)
+        from ecfft_tpu.utils.profiling import time_op as _t
+
+        best, _ = _t(lambda: plan.ntt(enc_ntt), reps=args.reps)
+        print(f"# NTT evaluate (STARK prime): {best:.4f}s total, "
+              f"{best / args.batch * 1e3:.3f} ms/poly", file=sys.stderr)
+        best, _ = _t(lambda: plan.intt(enc_ntt), reps=args.reps)
+        print(f"# NTT interpolate (STARK prime): {best:.4f}s total, "
+              f"{best / args.batch * 1e3:.3f} ms/poly", file=sys.stderr)
 
     field, n, batch = args.field, args.n, args.batch
     spec = ec.FIELDS[field]

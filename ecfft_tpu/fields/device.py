@@ -311,51 +311,51 @@ def _reduce_slack(spec: FieldSpec, cols):
     return x[..., :L]
 
 
-def _mont_mul_scan(spec: FieldSpec, a, b):
-    """Generic-prime fallback: word-serial Montgomery reduction as a
-    ``lax.scan`` over the L reduction steps.
-
-    Used for primes whose R-residue digits are too large for the parallel
-    fold path (FieldSpec.fold_terms digit bound). Values are canonical at
-    the boundary: the product a·b·R is formed by multiplying with R² up
-    front... no — to stay canonical we Montgomery-reduce a·b (giving
-    a·b·R⁻¹) and then Montgomery-multiply by the precomputed R² once.
-    Columns stay < 2^22 throughout (same deferred-carry argument as the
-    pseudo-Mersenne path).
-    """
+def _mont_reduce_once(spec: FieldSpec, c):
+    """Word-serial Montgomery reduction of product columns (< 2^22) as a
+    ``lax.scan``: returns value·R⁻¹ mod p, canonical."""
     L = spec.num_limbs
+    n_prime = jnp.uint32(spec.n_prime)
+    p_limbs = _p_limbs(spec)
+    pad = jnp.zeros_like(c[..., :1])
+    state = jnp.concatenate([c, pad], axis=-1)  # (..., 2L+1)
 
-    def reduce_once(c):
-        # c: (..., 2L) columns < 2^21; returns a·R^{-1}-style reduction
-        n_prime = jnp.uint32(spec.n_prime)
-        p_limbs = _p_limbs(spec)
-        pad = jnp.zeros_like(c[..., :1])
-        state = jnp.concatenate([c, pad], axis=-1)  # (..., 2L+1)
+    def body(t, _):
+        m = (t[..., 0] * n_prime) & MASK
+        mp = m[..., None] * p_limbs  # (..., L) exact
+        lo = mp & MASK
+        hi = mp >> 16
+        add = jnp.zeros_like(t)
+        add = add.at[..., :L].add(lo)
+        add = add.at[..., 1 : L + 1].add(hi)
+        t = t + add
+        carry = (t[..., 0] >> 16)
+        t = jnp.concatenate(
+            [t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1
+        )
+        t = t.at[..., 0].add(carry)
+        return t, None
 
-        def body(t, _):
-            m = (t[..., 0] * n_prime) & MASK
-            mp = m[..., None] * p_limbs  # (..., L) exact
-            lo = mp & MASK
-            hi = mp >> 16
-            add = jnp.zeros_like(t)
-            add = add.at[..., :L].add(lo)
-            add = add.at[..., 1 : L + 1].add(hi)
-            t = t + add
-            carry = (t[..., 0] >> 16)
-            t = jnp.concatenate(
-                [t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1
-            )
-            t = t.at[..., 0].add(carry)
-            return t, None
+    state, _ = jax.lax.scan(body, state, None, length=L)
+    res = _carry_normalize(state[..., : L + 1])  # canonical + top bits
+    top = res[..., L:].sum(axis=-1, dtype=jnp.uint32)
+    return _cond_sub_p(spec, res[..., :L], top)
 
-        state, _ = jax.lax.scan(body, state, None, length=L)
-        res = _carry_normalize(state[..., : L + 1])  # (..., L+2) canonical
-        top = res[..., L:].sum(axis=-1, dtype=jnp.uint32)
-        return _cond_sub_p(spec, res[..., :L], top)
 
-    ab_red = reduce_once(_conv_columns(a, b, L))  # = a·b·R⁻¹
+def _mont_reduce_scan(spec: FieldSpec, c):
+    """Product columns → canonical product: Montgomery-reduce (·R⁻¹) then
+    Montgomery-multiply by the precomputed R² to cancel the factor.
+    Generic-prime fallback for fold-unfriendly moduli; columns stay < 2^22
+    throughout (deferred-carry argument as in the pseudo-Mersenne path)."""
+    L = spec.num_limbs
+    red = _mont_reduce_once(spec, c)
     r2 = jnp.asarray(spec.to_limbs(spec.r2_mod_p), dtype=jnp.uint32)
-    return reduce_once(_conv_columns(ab_red, r2, L))  # = a·b
+    return _mont_reduce_once(spec, _conv_columns(red, r2, L))
+
+
+def _mont_mul_scan(spec: FieldSpec, a, b):
+    """Generic-prime fallback multiply (see _mont_reduce_scan)."""
+    return _mont_reduce_scan(spec, _conv_columns(a, b, spec.num_limbs))
 
 
 # --------------------------------------------------------------------------
@@ -446,8 +446,8 @@ def muladd2(spec: FieldSpec, a1, x1, a2, x2):
         return _m31_add(_m31_mul(a1, x1), _m31_mul(a2, x2))
     L = spec.num_limbs
     if spec.fold_terms is None:
-        return _gen_add(spec, _mont_mul_scan(spec, a1, x1),
-                        _mont_mul_scan(spec, a2, x2))
+        c = _conv_columns(a1, x1, L) + _conv_columns(a2, x2, L)
+        return _mont_reduce_scan(spec, c)
     # fold-digit bound for the doubled columns: Σd·2^22 must stay < 2^32
     assert sum(d for _, d in spec.fold_terms) < (1 << 10), (
         "fold digits too large for the fused path; use mul+add"

@@ -446,8 +446,20 @@ def _conv_cols(spec: FieldSpec, a, x):
 
 def _muladd2_cols(spec: FieldSpec, A, x1, B, x2):
     """Fused A·x1 + B·x2 in the (W, L, B) layout."""
-    if spec.num_limbs == 1:  # m31: plain elementwise fast path
+    if spec.num_limbs == 1 and spec.p == fd.M31_P:
+        # m31: plain elementwise fast path
         return fd._m31_add(fd._m31_mul(A, x1), fd._m31_mul(B, x2))
+    if spec.fold_terms is None:
+        # fold-unfriendly prime (e.g. the 2-adic STARK prime): run the
+        # Montgomery-scan fallback in limb-last layout
+        out = fd.muladd2(
+            spec,
+            jnp.swapaxes(A, -1, -2),
+            jnp.swapaxes(x1, -1, -2),
+            jnp.swapaxes(B, -1, -2),
+            jnp.swapaxes(x2, -1, -2),
+        )
+        return jnp.swapaxes(out, -1, -2)
     L = spec.num_limbs
     c = _conv_cols(spec, A, x1) + _conv_cols(spec, B, x2)
     c = _normalize_cols(_fold_cols(spec, c))
@@ -510,9 +522,12 @@ def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
 
 
 def to_state(batch_arr, W: int, one_pos: int):
-    """(B, m, L) batch → (W, L, B) state with a constant 1 at one_pos."""
+    """(B, m, L) batch → (W, L, B) state with a constant 1 at one_pos
+    (skipped when the schedule has no tail slots, e.g. the NTT)."""
     B, m, L = batch_arr.shape
     x = jnp.transpose(batch_arr, (1, 2, 0))  # (m, L, B)
+    if W == m:
+        return x
     pad = jnp.zeros((W - m, L, B), jnp.uint32)
     pad = pad.at[one_pos - m, 0, :].set(1)
     return jnp.concatenate([x, pad], axis=0)
