@@ -107,7 +107,9 @@ def _make_kernel(spec: FieldSpec):
 def pallas_muladd2(spec: FieldSpec, A, B, x1, x2, interpret: bool = False):
     """A, B: (W, L) coefficient rows; x1, x2: (W, L, Bt) states."""
     W, L, Bt = x1.shape
-    TW = 8
+    # TW bounds the kernel's scoped VMEM (conv intermediates scale with
+    # TW*L*B); 128 OOM'd at B=96, 32 fits with headroom
+    TW = 32 if W % 128 == 0 else 8
     assert W % TW == 0, "state width must be padded to the position tile"
     kernel = _make_kernel(spec)
     return pl.pallas_call(

@@ -126,12 +126,13 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
 class _Builder:
     """Accumulates schedule steps; default row is a passthrough.
 
-    Width is rounded up to a multiple of 8 (the TPU sublane tile) so the
-    Pallas step kernel can tile the position axis; the pad rows stay
-    passthrough forever."""
+    Width is rounded up to a multiple of 128 so the Pallas step kernel
+    can use a large position tile (a multiple-of-8 width forced an 8-row
+    tile => 16k grid programs at n=2^16, and per-program overhead
+    dominated the kernel); the pad rows stay passthrough forever."""
 
     def __init__(self, W: int):
-        self.W = (W + 7) & ~7
+        self.W = (W + 127) & ~127
         self.steps = []
 
     def new_step(self):
