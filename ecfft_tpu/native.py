@@ -268,6 +268,39 @@ if __name__ == "__main__":
     print("built", _SO)
 
 
+def find_curve_parallel(p: int, k: int, threads: int = 10,
+                        seed: int = 1, chunk: int = 20000):
+    """Race ``threads`` native searches with distinct seeds and return the
+    first hit — the reference's rayon fan-out example
+    (examples/find_curve.rs:11-36) on top of the C++ engine. Each thread
+    searches in finite chunks (ctypes releases the GIL during the C call)
+    and stops once any thread has found a curve."""
+    import concurrent.futures as cf
+    import threading
+
+    found: list = []
+    lock = threading.Lock()
+
+    def worker(t: int):
+        s = seed + 1000003 * t
+        while True:
+            with lock:
+                if found:
+                    return None
+            r = find_curve_native(p, k, s, chunk)
+            if r is not None:
+                with lock:
+                    found.append(r)
+                return r
+            s += 777767777
+
+    with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+        futs = [ex.submit(worker, t) for t in range(threads)]
+        for f in cf.as_completed(futs):
+            pass
+    return max(found, key=lambda r: r[0]) if found else None
+
+
 def find_curve_native(p: int, k: int, seed: int = 1,
                       max_iters: int = 0):
     """Native FIND_CURVE (find_curve.rs:224-246 at C++ speed): returns

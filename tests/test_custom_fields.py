@@ -66,3 +66,14 @@ def test_good_isogeny_chain_on_fresh_curve():
         g = g.double()
     chain = find_isogeny_chain(g)
     assert len(chain) == 6
+
+
+def test_parallel_curve_search():
+    from ecfft_tpu.native import find_curve_parallel
+
+    res = find_curve_parallel(M61, 8, threads=4, seed=9, chunk=5000)
+    assert res is not None
+    n, a, bb, x, y = res
+    c = GoodCurve.new_odd(a, bb, M61)
+    assert n >= 8 and c.contains(x, y)
+    assert two_adicity(Point(x, y, c)) == n
