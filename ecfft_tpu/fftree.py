@@ -37,7 +37,6 @@ import jax
 import jax.numpy as jnp
 
 from ecfft_tpu.fields import device as fd
-from ecfft_tpu.fields.host import batch_inv_mod
 from ecfft_tpu.fields.registry import FIELDS, FieldSpec, build_domain
 from ecfft_tpu.ops import core as ops
 from ecfft_tpu.ops.core import S0, S1

@@ -37,7 +37,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ecfft_tpu.fields.registry import LIMB_BITS, LIMB_MASK, M31_P, FieldSpec
+from ecfft_tpu.fields.registry import LIMB_MASK, M31_P, FieldSpec
 
 MASK = jnp.uint32(LIMB_MASK)
 

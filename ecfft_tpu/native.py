@@ -214,7 +214,6 @@ def build_fftree_native(field: str | FieldSpec, n: int):
     must agree bit-for-bit (tested)."""
     import jax.numpy as jnp
 
-    from ecfft_tpu.ec.curve import RationalMap
     from ecfft_tpu.fftree import FFTree, _tile_extend
 
     spec = FIELDS[field] if isinstance(field, str) else field

@@ -22,8 +22,6 @@ variant is future work for n beyond HBM.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

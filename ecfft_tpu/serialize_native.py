@@ -9,11 +9,10 @@ workflow, README.md:22-66, without the byte-level tax).
 
 from __future__ import annotations
 
-import io
 
 import numpy as np
 
-from ecfft_tpu.fields.registry import FIELDS, FieldSpec
+from ecfft_tpu.fields.registry import FIELDS
 
 
 def save_tables_npz(tree, path: str) -> None:
