@@ -58,3 +58,13 @@ def test_compressed_smaller_and_inverses_regenerated(field, n):
             assert list(t2.decode(t2.tables[m][key])) == list(
                 tree.decode(tree.tables[m][key])
             ), f"size {m} {key}"
+
+
+def test_native_built_tree_serializes_identically():
+    """The native fast-construction path and the device bootstrap must
+    produce byte-identical ark serializations (full-stack equivalence)."""
+    from ecfft_tpu.native import build_fftree_native
+
+    nt = build_fftree_native("m31", 32)
+    jt = FFTree.build("m31", 32)
+    assert serialize_fftree(nt) == serialize_fftree(jt)
