@@ -31,7 +31,7 @@ def log(*a):
 
 FIELD = os.environ.get("ECFFT_BENCH_FIELD", "secp256k1")
 N = int(os.environ.get("ECFFT_BENCH_N", str(1 << 14)))
-BATCH = int(os.environ.get("ECFFT_BENCH_BATCH", "128"))
+BATCH = int(os.environ.get("ECFFT_BENCH_BATCH", "256"))
 REPS = int(os.environ.get("ECFFT_BENCH_REPS", "5"))
 
 
