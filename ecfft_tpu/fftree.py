@@ -494,15 +494,32 @@ class FFTree:
         m = evals.shape[-2]
         self._size_check(m)
         t = self.tables[m]
+        if moiety == S0 and a is t["xnn_s"]:
+            # canonical modulus (the reference's own bench pattern,
+            # benches/fftree.rs:52-57): single-scan schedule path
+            from ecfft_tpu.ops import schedule as sch
+
+            s = self._schedule(
+                ("redc", m),
+                lambda: sch.mod_schedule(self, m, redc_only=True),
+            )
+            return self._run_sched(s, evals, m, 2 * m)
         z_inv = t["z0_inv_s1"] if moiety == S0 else t["z1_inv_s0"]
         return _redc_jit(self.spec, t["ext"], z_inv, evals, a, moiety)
 
     def modular_reduce(self, evals, a, c):
         """MOD: remainder of P by ``a`` given c = ⟨Z₀² mod a ≀ S⟩
-        (fftree.rs:286-289)."""
+        (fftree.rs:286-289). When called with the tree's own canonical
+        tables (a = xnn_s, c = z0z0_rem_xnn_s — the reference's bench
+        pattern) this runs on the single-scan schedule machine."""
         m = evals.shape[-2]
         self._size_check(m)
         t = self.tables[m]
+        if a is t["xnn_s"] and c is t["z0z0_rem_xnn_s"]:
+            from ecfft_tpu.ops import schedule as sch
+
+            s = self._schedule(("mod", m), lambda: sch.mod_schedule(self, m))
+            return self._run_sched(s, evals, m, 2 * m)
         return _mod_jit(self.spec, t["ext"], t["z0_inv_s1"], evals, a, c)
 
     def vanish(self, points):

@@ -149,3 +149,26 @@ def test_eval_domain(trees):
     spec, n, dev, host = trees
     assert list(dev.eval_domain()) == host.eval_domain()
     assert list(dev.eval_domain(n // 2)) == host.subtree.eval_domain()
+
+
+def test_canonical_mod_scheduled_path(trees):
+    """MOD/REDC with the tree's own tables must route through the
+    schedule machine and agree with the generic path bit-for-bit."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec, n, dev, host = trees
+    rng = random.Random(11)
+    vals = [rng.randrange(spec.p) for _ in range(n)]
+    enc = dev.encode([vals])
+    a = dev.tables[n]["xnn_s"]
+    c = dev.tables[n]["z0z0_rem_xnn_s"]
+    fast = dev.modular_reduce(enc, a, c)
+    assert list(dev.decode(fast[0])) == host.modular_reduce(
+        vals, host.xnn_s, host.z0z0_rem_xnn_s
+    )
+    slow = dev.modular_reduce(enc, jnp.array(np.asarray(a)),
+                              jnp.array(np.asarray(c)))
+    assert np.array_equal(np.asarray(fast), np.asarray(slow))
+    fast_r = dev.redc_z0(enc, a)
+    assert list(dev.decode(fast_r[0])) == host.redc_z0(vals, host.xnn_s)
