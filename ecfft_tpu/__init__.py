@@ -25,7 +25,18 @@ Public surface (mirrors /root/reference/src/lib.rs:10-16 re-exports):
   tooling (ECFFT-II FIND_CURVE, Schoof point counting)
 """
 
+from ecfft_tpu.errors import (
+    CurveError,
+    EcfftError,
+    SizeError,
+    TreeConstructionError,
+    UnknownFieldError,
+)
 from ecfft_tpu.fftree import FFTree, S0, S1, build_fftree
 from ecfft_tpu.fields.registry import FIELDS
 
-__all__ = ["FFTree", "S0", "S1", "build_fftree", "FIELDS"]
+__all__ = [
+    "FFTree", "S0", "S1", "build_fftree", "FIELDS",
+    "EcfftError", "UnknownFieldError", "SizeError", "CurveError",
+    "TreeConstructionError",
+]

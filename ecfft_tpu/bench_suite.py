@@ -92,8 +92,8 @@ def main(argv=None):
         ("DEGREE", lambda: tree.degree(enc)),
         ("EXTEND", lambda: tree.extend(enc, ec.S1)),
         ("MEXTEND", lambda: tree.mextend(enc, ec.S1)),
-        ("MOD", lambda: tree.modular_reduce(enc, a, c)),
-        ("REDC", lambda: tree.redc_z0(enc, a)),
+        ("MOD", lambda: tree.modular_reduce(enc)),
+        ("REDC", lambda: tree.redc_z0(enc)),
         ("VANISH", lambda: tree.vanish(half_enc)),
     ]
     for name, fn in cases:

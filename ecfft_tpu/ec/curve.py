@@ -132,18 +132,25 @@ class GoodCurve(Curve):
 
     @staticmethod
     def new_odd(a: int, bb: int, p: int) -> "GoodCurve":
+        from ecfft_tpu.errors import CurveError
+
         a %= p
         bb %= p
-        assert bb != 0 and (a * a - 4 * bb) % p != 0, "singular curve"
+        if bb == 0 or (a * a - 4 * bb) % p == 0:
+            raise CurveError("singular curve (ec.rs:41-42)")
         b = sqrt_mod(bb, p)
-        assert b is not None, "B must be a quadratic residue"
+        if b is None:
+            raise CurveError("B must be a quadratic residue (ec.rs:43)")
         # the good-curve condition fixes the SIGN of b: pick the root
         # with a + 2b a quadratic residue (when the 2-Sylow is cyclic
         # exactly one of a ± 2b is — their product is the non-residue
         # discriminant)
         if sqrt_mod((a + 2 * b) % p, p) is None:
             b = (-b) % p
-        assert sqrt_mod((a + 2 * b) % p, p) is not None
+        if sqrt_mod((a + 2 * b) % p, p) is None:
+            raise CurveError(
+                "neither sign of sqrt(B) makes a + 2b a quadratic residue"
+            )
         return GoodCurve(a, b, p)
 
     def a2(self) -> int:
@@ -175,9 +182,11 @@ class GoodCurve(Curve):
         bb = b * b % p
         a_prime = (a + 6 * b) % p
         b_prime = (4 * a * b + 8 * bb) % p
+        from ecfft_tpu.errors import CurveError
+
         try:
             codomain = GoodCurve.new_odd(a_prime, b_prime, p)
-        except AssertionError:
+        except CurveError:
             codomain = GoodCurve(a_prime, 0, p, bb_override=b_prime)
         r = RationalMap((bb, (-2 * b) % p, 1), (0, 1), p)
         g = RationalMap.zero(p)
@@ -304,36 +313,49 @@ def find_isogeny_chain(generator: Point) -> list[Isogeny]:
     """Chain of k good isogenies for a GoodCurve generator of order 2^k
     (/root/reference/src/ec.rs:177-189).
 
-    Invariant maintained explicitly at every step: the curve's ``b`` label
-    equals x(P₄) for P₄ = 2^(k−2)·g, the order-4 point of ⟨g⟩. This
-    guarantees (a) the good-isogeny kernel {O, (0,0)} = ⟨2^(k−1)·g⟩ so the
-    generator's 2-adicity drops by exactly one, and (b) the codomain's
-    B' = (2·x(P₄'))² stays a perfect square. Quotient curves generically
-    acquire full rational 2-torsion, so a convention-based sqrt sign (what
-    a naive port of new_odd's re-sqrt would do) silently quotients by the
-    WRONG 2-torsion point after a step or two and the chain stalls — this
-    surfaced on find_curve-discovered curves over 2^255−19.
+    The reference takes the curve's convention ``b`` (new_odd's sqrt sign)
+    at every step and asserts the generator's 2-adicity drops by exactly
+    one (ec.rs:184). Quotient curves generically acquire full rational
+    2-torsion, so on some discovered curves (surfaced over 2^255−19) the
+    convention sign yields a codomain whose B' is a non-residue and the
+    chain stalls — the reference would panic there. We therefore prefer
+    the reference's convention label (keeping chains byte-identical to
+    reference-built trees on the hardcoded fields), and fall back to
+    relabeling ``b`` to x(P₄) for P₄ = 2^(k−2)·g — the same curve, since
+    x(P₄)² = B — only when the convention step would stall. The x(P₄)
+    label always works: it guarantees the kernel {O, (0,0)} = ⟨2^(k−1)·g⟩
+    and a square B' = (2·x(P₄'))².
     """
+    from ecfft_tpu.errors import CurveError
+
     k = two_adicity(generator)
-    assert k is not None, "not a point of order 2^k"
+    if k is None:
+        raise CurveError("generator is not a point of order 2^k")
     chain = []
     g = generator
     for i in range(k):
         k_cur = k - i
-        curve = g.curve
+        candidates = [g]
         if k_cur >= 2:
             p4 = g * (1 << (k_cur - 2))
-            if curve.b != p4.x:
-                # same curve (x(P₄)² = B), corrected b label
-                curve = GoodCurve(curve.a, p4.x, curve.p)
-                g = Point(g.x, g.y, curve)
-        iso = curve.good_isogeny()
-        g_prime = iso.map(g)
-        assert two_adicity(g) == two_adicity(g_prime) + 1, (
-            "good isogeny failed to halve the generator's order"
-        )
-        chain.append(iso)
-        g = g_prime
+            if g.curve.b != p4.x:
+                relabeled = GoodCurve(g.curve.a, p4.x, g.curve.p)
+                candidates.append(Point(g.x, g.y, relabeled))
+        chosen = None
+        for cand in candidates:
+            if cand.curve.bb_override is not None:
+                continue  # degenerate label can't take a good isogeny
+            iso = cand.curve.good_isogeny()
+            g_prime = iso.map(cand)
+            if two_adicity(cand) == two_adicity(g_prime) + 1:
+                chosen = (iso, g_prime)
+                break
+        if chosen is None:
+            raise CurveError(
+                "good isogeny failed to halve the generator's order"
+            )
+        chain.append(chosen[0])
+        g = chosen[1]
     return chain
 
 
@@ -351,7 +373,12 @@ def find_isogeny_chain_velu(generator: Point, log_n: int) -> list[Isogeny]:
             if ta is not None and tb is not None and ta == tb + 1:
                 found = (iso, g_prime)
                 break
-        assert found is not None, "cannot find a suitable isogeny"
+        if found is None:
+            from ecfft_tpu.errors import CurveError
+
+            raise CurveError(
+                "cannot find a two-adicity-reducing isogeny (ec.rs:541)"
+            )
         chain.append(found[0])
         g = found[1]
     return chain

@@ -36,8 +36,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ecfft_tpu.errors import SizeError, TreeConstructionError
 from ecfft_tpu.fields import device as fd
-from ecfft_tpu.fields.registry import FIELDS, FieldSpec, build_domain
+from ecfft_tpu.fields.registry import FieldSpec, build_domain, get_spec
 from ecfft_tpu.ops import core as ops
 from ecfft_tpu.ops.core import S0, S1
 
@@ -102,35 +103,35 @@ def _tile_extend(spec: FieldSpec, mats, tree_size: int) -> dict:
       bit set:   out[p] = M[i',1,1]·x[p] + M[i',1,0]·x[p^half]  (row 1)
     with i' = p & (half−1) the shared matrix index. Returns
     {"shifts": (logm,), S0: (dec, rec), S1: (dec, rec)} with coeff arrays
-    (logm, m, 2, L).
+    (logm, m, 2, L). Pure numpy — the tables are constants and eager
+    device ops here would pay per-op dispatch on remote backends.
     """
-    import numpy as np
-
     m = tree_size // 2
     L = spec.num_limbs
     logm = _ilog2(m)
-    out = {"shifts": jnp.asarray([m >> (d + 1) for d in range(logm)],
-                                 dtype=jnp.int32)}
+    out = {"shifts": np.asarray([m >> (d + 1) for d in range(logm)],
+                                dtype=np.int32)}
+    mats_np = [tuple(np.asarray(x) for x in quad) for quad in mats]
     for moiety in (S0, S1):
         mkey = "s0" if moiety == S0 else "s1"
         if logm == 0:
-            z = jnp.zeros((0, 1, 2, L), dtype=jnp.uint32)
+            z = np.zeros((0, 1, 2, L), dtype=np.uint32)
             out[mkey] = (z, z)
             continue
         dec_list, rec_list = [], []
         for d in range(logm):
             half = m >> (d + 1)
             iota = np.arange(m)
-            bitv = jnp.asarray((iota & half) != 0)[:, None]
-            ipr = np.asarray(iota & (half - 1))
-            dec = mats[d][0 if moiety == S0 else 1]
-            rec = mats[d][2 if moiety == S0 else 3]
+            bitv = ((iota & half) != 0)[:, None]
+            ipr = iota & (half - 1)
+            dec = mats_np[d][0 if moiety == S0 else 1]
+            rec = mats_np[d][2 if moiety == S0 else 3]
             for src, acc in ((dec, dec_list), (rec, rec_list)):
-                sel = jnp.take(src, ipr, axis=0)  # (m, 2, 2, L)
-                c_self = jnp.where(bitv, sel[:, 1, 1, :], sel[:, 0, 0, :])
-                c_part = jnp.where(bitv, sel[:, 1, 0, :], sel[:, 0, 1, :])
-                acc.append(jnp.stack([c_self, c_part], axis=1))
-        out[mkey] = (jnp.stack(dec_list), jnp.stack(rec_list))
+                sel = np.take(src, ipr, axis=0)  # (m, 2, 2, L)
+                c_self = np.where(bitv, sel[:, 1, 1, :], sel[:, 0, 0, :])
+                c_part = np.where(bitv, sel[:, 1, 0, :], sel[:, 0, 1, :])
+                acc.append(np.stack([c_self, c_part], axis=1))
+        out[mkey] = (np.stack(dec_list), np.stack(rec_list))
     return out
 
 
@@ -252,17 +253,25 @@ class FFTree:
     def build(cls, field: str | FieldSpec, n: int) -> "FFTree | None":
         """F::build_fftree(n) (lib.rs:14-16, 40-84, 199-214): None when n
         exceeds the field's curve two-adicity."""
-        spec = FIELDS[field] if isinstance(field, str) else field
+        spec = get_spec(field)
         dom = build_domain(spec, n)
         if dom is None:
             return None
         leaves, maps = dom
-        # host: fill internal domain layers (fftree.rs:56-67), exact ints
+        # host: fill internal domain layers (fftree.rs:56-67), exact ints,
+        # checking the 2-to-1 property map(s_i) == map(s_{i+half}) per node
+        # (the reference's debug_assert, fftree.rs:63-66)
         f_layers = [leaves]
-        for rmap in maps:
+        for li, rmap in enumerate(maps):
             prev = f_layers[-1]
             half = len(prev) // 2
             nxt = [rmap(x) for x in prev[:half]]
+            mirror = [rmap(x) for x in prev[half:]]
+            if nxt != mirror:
+                raise TreeConstructionError(
+                    f"rational map {li} is not 2-to-1 on its layer "
+                    "(fftree.rs:65)"
+                )
             f_layers.append(nxt)
         return cls.from_domain_layers(spec, f_layers, maps)
 
@@ -335,9 +344,9 @@ class FFTree:
 
     def _size_check(self, m: int):
         if m & (m - 1):
-            raise ValueError("input size must be a power of two")
+            raise SizeError("input size must be a power of two")
         if m > self.n:
-            raise ValueError("FFTree is too small")
+            raise SizeError("FFTree is too small")
 
     def _subtables(self, key: str, up_to: int) -> dict:
         return {
@@ -481,9 +490,25 @@ class FFTree:
         t = self._subtables("ext z0_inv_s1", n)
         return _degree_jit(self.spec, t, evals)
 
-    def redc_z0(self, evals, a):
-        """⟨P·Z₀⁻¹ mod a ≀ S⟩ for an arbitrary modulus table ``a``
-        (fftree.rs:264-267). Fermat-inverts a's even entries on device."""
+    def redc_z0(self, evals, a=None):
+        """⟨P·Z₀⁻¹ mod a ≀ S⟩ (fftree.rs:264-267).
+
+        With ``a=None`` (the canonical modulus a = X^(m/2), i.e. the
+        tree's own ``xnn_s`` table — the reference's bench pattern,
+        benches/fftree.rs:52-57) this runs single-scan on the schedule
+        machine. With an explicit ``a`` table it takes the general path,
+        Fermat-inverting a's even entries on device.
+        """
+        if a is None:
+            m = evals.shape[-2]
+            self._size_check(m)
+            from ecfft_tpu.ops import schedule as sch
+
+            s = self._schedule(
+                ("redc", m),
+                lambda: sch.mod_schedule(self, m, redc_only=True),
+            )
+            return self._run_sched(s, evals, m, 2 * m)
         return self._redc(evals, a, S0)
 
     def redc_z1(self, evals, a):
@@ -494,32 +519,31 @@ class FFTree:
         m = evals.shape[-2]
         self._size_check(m)
         t = self.tables[m]
-        if moiety == S0 and a is t["xnn_s"]:
-            # canonical modulus (the reference's own bench pattern,
-            # benches/fftree.rs:52-57): single-scan schedule path
-            from ecfft_tpu.ops import schedule as sch
-
-            s = self._schedule(
-                ("redc", m),
-                lambda: sch.mod_schedule(self, m, redc_only=True),
-            )
-            return self._run_sched(s, evals, m, 2 * m)
         z_inv = t["z0_inv_s1"] if moiety == S0 else t["z1_inv_s0"]
         return _redc_jit(self.spec, t["ext"], z_inv, evals, a, moiety)
 
-    def modular_reduce(self, evals, a, c):
+    def modular_reduce(self, evals, a=None, c=None):
         """MOD: remainder of P by ``a`` given c = ⟨Z₀² mod a ≀ S⟩
-        (fftree.rs:286-289). When called with the tree's own canonical
-        tables (a = xnn_s, c = z0z0_rem_xnn_s — the reference's bench
-        pattern) this runs on the single-scan schedule machine."""
+        (fftree.rs:286-289).
+
+        With ``a=None``/``c=None`` this is the canonical form — modulus
+        a = X^(m/2) with the precomputed c = z0z0_rem_xnn_s (the
+        reference's bench pattern) — and runs single-scan on the schedule
+        machine. Passing explicit ``a`` AND ``c`` takes the general path.
+        """
         m = evals.shape[-2]
         self._size_check(m)
-        t = self.tables[m]
-        if a is t["xnn_s"] and c is t["z0z0_rem_xnn_s"]:
+        if a is None and c is None:
             from ecfft_tpu.ops import schedule as sch
 
             s = self._schedule(("mod", m), lambda: sch.mod_schedule(self, m))
             return self._run_sched(s, evals, m, 2 * m)
+        if a is None or c is None:
+            raise TypeError(
+                "modular_reduce needs both a and c (or neither for the "
+                "canonical X^(m/2) form)"
+            )
+        t = self.tables[m]
         return _mod_jit(self.spec, t["ext"], t["z0_inv_s1"], evals, a, c)
 
     def vanish(self, points):

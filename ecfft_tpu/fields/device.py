@@ -25,9 +25,10 @@ Design notes (why this shape of code):
   pad/flatten/reshape stagger — a classic dense-linear-algebra trick that
   XLA turns into pure data movement.
 - All ops are shape-polymorphic over leading batch dims, pure, and
-  jit/vmap/shard_map-friendly. The Pallas kernels in
-  ``ecfft_tpu/fields/pallas_kernels.py`` fuse the same math for the hot
-  ops; this module is the portable XLA path and the semantic ground truth.
+  jit/vmap/shard_map-friendly. The Pallas kernel in
+  ``ecfft_tpu/ops/pallas_step.py`` fuses the same math for the hot
+  schedule step; this module is the portable XLA path and the semantic
+  ground truth.
 """
 
 from __future__ import annotations
@@ -50,24 +51,41 @@ def encode(spec: FieldSpec, values) -> jnp.ndarray:
     """Python ints → device limb array (canonical form).
 
     ``values`` may be an int, a flat list, or a nested list; the result has
-    one extra trailing limb axis of size ``spec.num_limbs``.
+    one extra trailing limb axis of size ``spec.num_limbs``. Vectorized via
+    a byte view — one ``to_bytes`` call per element, no per-limb loop.
     """
     arr = np.asarray(values, dtype=object)
     flat = arr.reshape(-1)
-    out = np.empty((flat.size, spec.num_limbs), dtype=np.uint32)
-    for i, v in enumerate(flat):
-        out[i] = spec.to_limbs(int(v) % spec.p)
+    nbytes = 4 if spec.limb_bits > 16 else 2 * spec.num_limbs
+    raw = b"".join(
+        (int(v) % spec.p).to_bytes(nbytes, "little") for v in flat
+    )
+    if spec.limb_bits > 16:
+        out = np.frombuffer(raw, "<u4").astype(np.uint32).reshape(-1, 1)
+    else:
+        out = (
+            np.frombuffer(raw, "<u2")
+            .astype(np.uint32)
+            .reshape(-1, spec.num_limbs)
+        )
     return jnp.asarray(out.reshape(arr.shape + (spec.num_limbs,)))
 
 
 def decode(spec: FieldSpec, limbs) -> np.ndarray:
-    """Device limb array → object array of python ints."""
-    arr = np.asarray(limbs)
+    """Device limb array → object array of python ints (vectorized byte
+    route: one ``from_bytes`` call per element)."""
+    arr = np.asarray(limbs, dtype=np.uint32)
     shape = arr.shape[:-1]
-    flat = arr.reshape(-1, spec.num_limbs)
+    flat = np.ascontiguousarray(arr.reshape(-1, spec.num_limbs))
+    if spec.limb_bits > 16:
+        raw = flat.astype("<u4").tobytes()
+        fs = 4 * spec.num_limbs
+    else:
+        raw = flat.astype("<u2").tobytes()
+        fs = 2 * spec.num_limbs
     out = np.empty(flat.shape[0], dtype=object)
     for i in range(flat.shape[0]):
-        out[i] = spec.from_limbs(flat[i])
+        out[i] = int.from_bytes(raw[i * fs : (i + 1) * fs], "little")
     return out.reshape(shape)
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ecfft_tpu.errors import CurveError, SizeError, UnknownFieldError
 from ecfft_tpu.ec.curve import (
     GoodCurve,
     Point,
@@ -174,7 +175,10 @@ def register_field(name: str, p: int, curve_a: int, curve_bb: int,
     curve = GoodCurve.new_odd(curve_a, curve_bb, p)
     gen = Point(gen_xy[0], gen_xy[1], curve)
     coset = Point(coset_xy[0], coset_xy[1], curve)
-    assert curve.contains(gen.x, gen.y) and curve.contains(coset.x, coset.y)
+    if not (curve.contains(gen.x, gen.y) and curve.contains(coset.x, coset.y)):
+        raise CurveError(
+            f"generator/coset point not on the good curve over p={p:#x}"
+        )
     FIELDS[name] = spec
     CUSTOM_DOMAINS[name] = (curve, coset, gen, two_adicity)
     return spec
@@ -233,7 +237,8 @@ def build_domain(spec: FieldSpec, n: int) -> tuple[list[int], list[RationalMap]]
     Returns None when n exceeds the subgroup two-adicity (lib.rs:62-64,
     ec.rs:513-515).
     """
-    assert n & (n - 1) == 0, "n must be a power of two"
+    if n < 1 or n & (n - 1):
+        raise SizeError("n must be a power of two")
     log_n = n.bit_length() - 1
 
     if spec.name == "secp256k1":
@@ -251,7 +256,8 @@ def build_domain(spec: FieldSpec, n: int) -> tuple[list[int], list[RationalMap]]
     if spec.name == "m31":
         if log_n > M31_SUBGROUP_TWO_ADICITY:
             return None
-        assert log_n < 32
+        if log_n >= 32:
+            raise SizeError("log n must be < 32 (ec.rs:510)")
         gen = M31_SUBGROUP_GENERATOR
         for _ in range(M31_SUBGROUP_TWO_ADICITY - log_n):
             gen = gen.double()
@@ -269,7 +275,20 @@ def build_domain(spec: FieldSpec, n: int) -> tuple[list[int], list[RationalMap]]
         chain = find_isogeny_chain(gen)
         return leaves, [iso.r for iso in chain]
 
-    raise ValueError(f"unknown field {spec.name}")
+    raise UnknownFieldError(f"unknown field {spec.name}")
 
 
 FIELDS: dict[str, FieldSpec] = {"m31": M31, "secp256k1": SECP256K1}
+
+
+def get_spec(field: "str | FieldSpec") -> FieldSpec:
+    """Resolve a field name (or pass a FieldSpec through), with a typed
+    error for unknown names — the public lookup every API entry uses."""
+    if isinstance(field, FieldSpec):
+        return field
+    try:
+        return FIELDS[field]
+    except KeyError:
+        raise UnknownFieldError(
+            f"unknown field {field!r}; registered: {sorted(FIELDS)}"
+        ) from None

@@ -391,9 +391,9 @@ class HostFFTree:
 
 def build_host_fftree(field_name: str, n: int) -> HostFFTree | None:
     """F::build_fftree(n) analogue (lib.rs:14-16) on the host oracle."""
-    from ecfft_tpu.fields.registry import FIELDS, build_domain
+    from ecfft_tpu.fields.registry import build_domain, get_spec
 
-    spec = FIELDS[field_name]
+    spec = get_spec(field_name)
     dom = build_domain(spec, n)
     if dom is None:
         return None

@@ -36,7 +36,8 @@ def build_native() -> None:
 def lib() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        if not os.path.exists(_SO):
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             build_native()
         _lib = ctypes.CDLL(_SO)
         _lib.ecn_tree_new.restype = ctypes.c_void_p

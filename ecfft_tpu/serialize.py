@@ -1,5 +1,5 @@
-"""FFTree serialization, byte-compatible with the reference's ark-serialize
-layout (/root/reference/src/fftree.rs:507-660).
+"""FFTree serialization in the reference's ark-serialize layout
+(/root/reference/src/fftree.rs:507-660).
 
 This is the framework's checkpoint/persist subsystem (SURVEY.md §5): trees
 are built once (offline or on device) and shipped as bytes; loading
@@ -26,6 +26,15 @@ Field elements are canonical integers, little-endian, in
 ceil(bits(p)/8) bytes (arkworks Fp serialization: 32 bytes for secp256k1,
 4 for m31). Compressed mode omits the three inverse tables and regenerates
 them by batch inversion on load (fftree.rs:620-628).
+
+Compatibility status: the layout above is *derived from the reference
+source* and round-trip/cross-implementation tested; byte parity against
+output produced by the actual Rust crate has not been fixture-verified
+(no Rust toolchain is available in this environment), so treat this as
+"reference-layout" rather than certified ark-serialize byte parity.
+
+All felt encoding/decoding is vectorized through numpy byte views — no
+per-limb python loops on the hot path.
 """
 
 from __future__ import annotations
@@ -33,74 +42,136 @@ from __future__ import annotations
 import io
 import struct
 
+import numpy as np
+
 from ecfft_tpu.fields.host import batch_inv_mod
-from ecfft_tpu.fields.registry import FIELDS, FieldSpec
+from ecfft_tpu.fields.registry import FieldSpec, get_spec
 
 
 def _felt_size(spec: FieldSpec) -> int:
     return (spec.p.bit_length() + 7) // 8
 
 
-def _w_felt(buf, spec, v: int):
-    buf.write(int(v).to_bytes(_felt_size(spec), "little"))
+# ------------------------------------------------------- vectorized codecs
 
 
-def _r_felt(buf, spec) -> int:
-    return int.from_bytes(buf.read(_felt_size(spec)), "little")
+def _limbs_to_bytes(spec: FieldSpec, arr) -> bytes:
+    """(..., L) uint32 canonical limb array → concatenated little-endian
+    felt bytes, felt_size bytes per element (vectorized)."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32)).reshape(
+        -1, spec.num_limbs
+    )
+    fs = _felt_size(spec)
+    if spec.limb_bits == 16:
+        raw = a.astype("<u2").tobytes()
+        width = 2 * spec.num_limbs
+    else:  # packed single-limb field (m31)
+        raw = a.astype("<u4").tobytes()
+        width = 4 * spec.num_limbs
+    if fs == width:
+        return raw
+    m = np.frombuffer(raw, np.uint8).reshape(-1, width)
+    return m[:, :fs].tobytes()
 
 
-def _w_vec_felt(buf, spec, vals):
-    buf.write(struct.pack("<Q", len(vals)))
-    for v in vals:
-        _w_felt(buf, spec, v)
+def _bytes_to_limbs(spec: FieldSpec, data: bytes, count: int) -> np.ndarray:
+    """Inverse of _limbs_to_bytes: ``count`` felts → (count, L) uint32."""
+    fs = _felt_size(spec)
+    m = np.frombuffer(data, np.uint8, count=count * fs).reshape(count, fs)
+    if spec.limb_bits == 16:
+        width = 2 * spec.num_limbs
+    else:
+        width = 4 * spec.num_limbs
+    if fs != width:
+        pad = np.zeros((count, width - fs), np.uint8)
+        m = np.concatenate([m, pad], axis=1)
+    if spec.limb_bits == 16:
+        return (
+            np.ascontiguousarray(m).view("<u2").astype(np.uint32)
+            .reshape(count, spec.num_limbs)
+        )
+    return (
+        np.ascontiguousarray(m).view("<u4").astype(np.uint32)
+        .reshape(count, spec.num_limbs)
+    )
 
 
-def _r_vec_felt(buf, spec) -> list[int]:
+def _ints_to_limbs(spec: FieldSpec, vals) -> np.ndarray:
+    """Python ints → (n, L) uint32 canonical limbs (bulk byte route)."""
+    fs = _felt_size(spec)
+    raw = b"".join(int(v).to_bytes(fs, "little") for v in vals)
+    return _bytes_to_limbs(spec, raw, len(vals))
+
+
+def _limbs_to_ints(spec: FieldSpec, arr) -> list[int]:
+    """(n, L) limbs → python ints (one from_bytes call per element)."""
+    raw = _limbs_to_bytes(spec, arr)
+    fs = _felt_size(spec)
+    return [
+        int.from_bytes(raw[i * fs : (i + 1) * fs], "little")
+        for i in range(len(raw) // fs)
+    ]
+
+
+# ------------------------------------------------------------ IO helpers
+
+
+def _w_vec(buf, spec, arr):
+    """Vec<F>: u64 LE length prefix + felts. ``arr`` is (n, L) limbs."""
+    a = np.asarray(arr, dtype=np.uint32).reshape(-1, spec.num_limbs)
+    buf.write(struct.pack("<Q", a.shape[0]))
+    buf.write(_limbs_to_bytes(spec, a))
+
+
+def _r_vec(buf, spec) -> np.ndarray:
     (n,) = struct.unpack("<Q", buf.read(8))
-    return [_r_felt(buf, spec) for _ in range(n)]
+    return _bytes_to_limbs(spec, buf.read(n * _felt_size(spec)), n)
 
 
 def _w_vec_mat(buf, spec, mats):
-    """BinaryTree<Mat2x2>: Vec of matrices, each 4 row-major elements."""
-    buf.write(struct.pack("<Q", len(mats)))
-    for m in mats:
-        for r in range(2):
-            for c in range(2):
-                _w_felt(buf, spec, m[r][c])
+    """BinaryTree<Mat2x2>: Vec of matrices, each 4 row-major felts.
+    ``mats`` is (n, 2, 2, L) limbs."""
+    m = np.asarray(mats, dtype=np.uint32).reshape(-1, 2, 2, spec.num_limbs)
+    buf.write(struct.pack("<Q", m.shape[0]))
+    buf.write(_limbs_to_bytes(spec, m))
 
 
-def _r_vec_mat(buf, spec):
+def _r_vec_mat(buf, spec) -> np.ndarray:
     (n,) = struct.unpack("<Q", buf.read(8))
-    out = []
-    for _ in range(n):
-        out.append([[_r_felt(buf, spec) for _ in range(2)] for _ in range(2)])
-    return out
+    flat = _bytes_to_limbs(spec, buf.read(n * 4 * _felt_size(spec)), n * 4)
+    return flat.reshape(n, 2, 2, spec.num_limbs)
 
 
 def _w_maps(buf, spec, maps):
+    """Vec<RationalMap>: per map numerator Vec<F> then denominator Vec<F>.
+    ``maps`` = [(num_ints, den_ints)] (tiny — host ints are fine)."""
     buf.write(struct.pack("<Q", len(maps)))
     for num, den in maps:
-        _w_vec_felt(buf, spec, num)
-        _w_vec_felt(buf, spec, den)
+        _w_vec(buf, spec, _ints_to_limbs(spec, num))
+        _w_vec(buf, spec, _ints_to_limbs(spec, den))
 
 
 def _r_maps(buf, spec):
     (n,) = struct.unpack("<Q", buf.read(8))
-    return [(_r_vec_felt(buf, spec), _r_vec_felt(buf, spec)) for _ in range(n)]
+    return [
+        (
+            _limbs_to_ints(spec, _r_vec(buf, spec)),
+            _limbs_to_ints(spec, _r_vec(buf, spec)),
+        )
+        for _ in range(n)
+    ]
 
 
-def _layers_to_heap(layers: list[list[int]]) -> list[int]:
-    """[leaves, ..., root] layer list → flat heap vec with index 0 unused
-    (utils.rs:240-293 BinaryTree layout)."""
-    out = [0]
-    for layer in reversed(layers):
-        out.extend(layer)
-    return out
+def _heap_from_layers(layers: list[np.ndarray]) -> np.ndarray:
+    """[leaves, ..., root] (each (k, L)) → flat heap (2n, L), index 0
+    zero-filled (utils.rs:240-293 BinaryTree layout)."""
+    zero = np.zeros_like(layers[-1][:1])
+    return np.concatenate([zero] + list(reversed(layers)), axis=0)
 
 
-def _heap_to_layers(vec: list) -> list[list]:
-    """Inverse of _layers_to_heap; returns [leaves, ..., root]."""
-    n = len(vec) // 2
+def _layers_from_heap(vec: np.ndarray) -> list[np.ndarray]:
+    """Inverse of _heap_from_layers; returns [leaves, ..., root]."""
+    n = vec.shape[0] // 2
     layers = []
     size = n
     while size >= 1:
@@ -109,80 +180,88 @@ def _heap_to_layers(vec: list) -> list[list]:
     return layers
 
 
-def _identity_mat():
-    return [[1, 0], [0, 1]]
+def _identity_mats(spec: FieldSpec, n: int) -> np.ndarray:
+    out = np.zeros((n, 2, 2, spec.num_limbs), np.uint32)
+    one = np.asarray(spec.to_limbs(1), np.uint32)
+    out[:, 0, 0] = one
+    out[:, 1, 1] = one
+    return out
 
 
 class TreeSection:
-    """Host-int view of one tree size's data — the unit of (de)serialization
-    and the bridge to/from device tables."""
+    """Limb-array view of one tree size's data — the unit of
+    (de)serialization and the bridge to/from device tables."""
 
     def __init__(self, f_layers, rec_layers, dec_layers, maps, tables):
-        self.f_layers = f_layers  # [leaves, ..., root] python ints
-        self.rec_layers = rec_layers  # per layer: list of 2x2 int mats
+        self.f_layers = f_layers  # [leaves, ..., root], (k, L) limb arrays
+        self.rec_layers = rec_layers  # per layer: (k/2, 2, 2, L) limbs
         self.dec_layers = dec_layers
-        self.maps = maps  # [(num_coeffs, den_coeffs)]
-        self.tables = tables  # dict name -> list[int]
+        self.maps = maps  # [(num_ints, den_ints)]
+        self.tables = tables  # dict name -> (k, L) limbs
 
 
 def _write_section(buf, spec, sec: TreeSection, compress: bool):
-    n = len(sec.f_layers[0])
-    _w_vec_felt(buf, spec, _layers_to_heap(sec.f_layers))
+    n = sec.f_layers[0].shape[0]
+    _w_vec(buf, spec, _heap_from_layers(sec.f_layers))
     # matrix heaps have n entries for an n-leaf tree (fftree.rs:341-342);
     # unfilled layers (top, d==1) hold identities
     for layers in (sec.rec_layers, sec.dec_layers):
-        heap = [_identity_mat()]
+        if n == 1:
+            _w_vec_mat(buf, spec, _identity_mats(spec, 1))
+            continue
+        heap = [_identity_mats(spec, 1)]
         padded = list(layers)
         while len(padded) < max(n.bit_length() - 1, 0):
-            padded.append([_identity_mat()] * (n >> (len(padded) + 1)))
+            padded.append(_identity_mats(spec, n >> (len(padded) + 1)))
         for layer in reversed(padded):
-            heap.extend(layer)
-        if n == 1:
-            heap = [_identity_mat()]
-        _w_vec_mat(buf, spec, heap)
+            heap.append(np.asarray(layer, np.uint32))
+        _w_vec_mat(buf, spec, np.concatenate(heap, axis=0))
     _w_maps(buf, spec, sec.maps)
     t = sec.tables
-    _w_vec_felt(buf, spec, t["xnn_s"])
-    _w_vec_felt(buf, spec, t["z0_s1"])
-    _w_vec_felt(buf, spec, t["z1_s0"])
+    _w_vec(buf, spec, t["xnn_s"])
+    _w_vec(buf, spec, t["z0_s1"])
+    _w_vec(buf, spec, t["z1_s0"])
     if not compress:
-        _w_vec_felt(buf, spec, t["xnn_s_inv"])
-        _w_vec_felt(buf, spec, t["z0_inv_s1"])
-        _w_vec_felt(buf, spec, t["z1_inv_s0"])
-    _w_vec_felt(buf, spec, t["z0z0_rem_xnn_s"])
-    _w_vec_felt(buf, spec, t["z1z1_rem_xnn_s"])
+        _w_vec(buf, spec, t["xnn_s_inv"])
+        _w_vec(buf, spec, t["z0_inv_s1"])
+        _w_vec(buf, spec, t["z1_inv_s0"])
+    _w_vec(buf, spec, t["z0z0_rem_xnn_s"])
+    _w_vec(buf, spec, t["z1z1_rem_xnn_s"])
+
+
+def _host_batch_inv(spec: FieldSpec, arr: np.ndarray) -> np.ndarray:
+    vals = _limbs_to_ints(spec, arr)
+    return _ints_to_limbs(spec, batch_inv_mod(vals, spec.p))
 
 
 def _read_section(buf, spec, compress: bool) -> TreeSection:
-    f_layers = _heap_to_layers(_r_vec_felt(buf, spec))
-    n = len(f_layers[0])
+    f_layers = _layers_from_heap(_r_vec(buf, spec))
+    n = f_layers[0].shape[0]
     rec_heap = _r_vec_mat(buf, spec)
     dec_heap = _r_vec_mat(buf, spec)
     num_layers = max(n.bit_length() - 1, 0)
-    rec_layers = _heap_to_layers(rec_heap)[:num_layers] if n > 1 else []
-    dec_layers = _heap_to_layers(dec_heap)[:num_layers] if n > 1 else []
+    rec_layers = _layers_from_heap(rec_heap)[:num_layers] if n > 1 else []
+    dec_layers = _layers_from_heap(dec_heap)[:num_layers] if n > 1 else []
     maps = _r_maps(buf, spec)
     t = {}
-    t["xnn_s"] = _r_vec_felt(buf, spec)
-    t["z0_s1"] = _r_vec_felt(buf, spec)
-    t["z1_s0"] = _r_vec_felt(buf, spec)
+    t["xnn_s"] = _r_vec(buf, spec)
+    t["z0_s1"] = _r_vec(buf, spec)
+    t["z1_s0"] = _r_vec(buf, spec)
     if compress:
-        t["xnn_s_inv"] = batch_inv_mod(t["xnn_s"], spec.p)
-        t["z0_inv_s1"] = batch_inv_mod(t["z0_s1"], spec.p)
-        t["z1_inv_s0"] = batch_inv_mod(t["z1_s0"], spec.p)
-        t["z0z0_rem_xnn_s"] = _r_vec_felt(buf, spec)
-        t["z1z1_rem_xnn_s"] = _r_vec_felt(buf, spec)
+        t["xnn_s_inv"] = _host_batch_inv(spec, t["xnn_s"])
+        t["z0_inv_s1"] = _host_batch_inv(spec, t["z0_s1"])
+        t["z1_inv_s0"] = _host_batch_inv(spec, t["z1_s0"])
     else:
-        t["xnn_s_inv"] = _r_vec_felt(buf, spec)
-        t["z0_inv_s1"] = _r_vec_felt(buf, spec)
-        t["z1_inv_s0"] = _r_vec_felt(buf, spec)
-        t["z0z0_rem_xnn_s"] = _r_vec_felt(buf, spec)
-        t["z1z1_rem_xnn_s"] = _r_vec_felt(buf, spec)
+        t["xnn_s_inv"] = _r_vec(buf, spec)
+        t["z0_inv_s1"] = _r_vec(buf, spec)
+        t["z1_inv_s0"] = _r_vec(buf, spec)
+    t["z0z0_rem_xnn_s"] = _r_vec(buf, spec)
+    t["z1z1_rem_xnn_s"] = _r_vec(buf, spec)
     return TreeSection(f_layers, rec_layers, dec_layers, maps, t)
 
 
 def serialize_fftree(tree, compress: bool = True) -> bytes:
-    """Serialize a device FFTree to reference-compatible bytes.
+    """Serialize a device FFTree to reference-layout bytes.
 
     Mirrors serialize_with_mode (fftree.rs:510-554): the subtree chain is
     written recursively (even-strided layers, last rational map dropped,
@@ -190,41 +269,57 @@ def serialize_fftree(tree, compress: bool = True) -> bytes:
     """
     from ecfft_tpu.fftree import FFTree  # local import to avoid cycle
 
-    assert isinstance(tree, FFTree)
-    assert tree.f_layers is not None, "tree lacks host domain layers"
+    if not isinstance(tree, FFTree):
+        raise TypeError("serialize_fftree expects an FFTree")
+    if tree.f_layers is None:
+        raise ValueError("tree lacks host domain layers")
+    import jax
+
+    spec = tree.spec
+    # encode every f layer once (host ints → limbs, vectorized)
+    enc_layers = [
+        _ints_to_limbs(spec, layer) for layer in tree.f_layers
+    ]
+    # one bulk device→host fetch: per-array np.asarray would pay a
+    # transfer round-trip per table on a remote backend
+    host_tables = jax.device_get(
+        {
+            k: {kk: v for kk, v in t.items() if kk != "ext"}
+            for k, t in tree.tables.items()
+        }
+    )
     buf = io.BytesIO()
     n = tree.n
     size = n
     while size >= 1:
         stride = n // size
-        f_layers = [layer[::stride] for layer in tree.f_layers[
-            : size.bit_length()
-        ]]
+        f_layers = [
+            layer[::stride] for layer in enc_layers[: size.bit_length()]
+        ]
         maps = [
             (list(m.numerator), list(m.denominator))
             for m in tree.maps[: max(size.bit_length() - 1, 0)]
         ]
         if size >= 2:
-            dt = tree.tables[size]
+            dt = host_tables[size]
             rec_layers, dec_layers = [], []
             for dec_s0, dec_s1, rec_s0, rec_s1 in dt["mats"]:
                 # undo moiety selection: full layer = interleave(sel1, sel0)
                 # for dec (skips 0/1 resp.), (sel0, sel1) for rec
                 def interleave_mats(a, b):
-                    out = []
-                    am = tree.decode(a)
-                    bm = tree.decode(b)
-                    for i in range(a.shape[0]):
-                        out.append([[am[i][0][0], am[i][0][1]],
-                                    [am[i][1][0], am[i][1][1]]])
-                        out.append([[bm[i][0][0], bm[i][0][1]],
-                                    [bm[i][1][0], bm[i][1][1]]])
+                    a = np.asarray(a, np.uint32)
+                    b = np.asarray(b, np.uint32)
+                    out = np.empty(
+                        (a.shape[0] * 2,) + a.shape[1:], np.uint32
+                    )
+                    out[0::2] = a
+                    out[1::2] = b
                     return out
 
                 dec_layers.append(interleave_mats(dec_s1, dec_s0))
                 rec_layers.append(interleave_mats(rec_s0, rec_s1))
             tables = {
-                k: list(tree.decode(dt[k]))
+                k: np.asarray(dt[k], np.uint32)
                 for k in (
                     "xnn_s",
                     "xnn_s_inv",
@@ -238,18 +333,20 @@ def serialize_fftree(tree, compress: bool = True) -> bytes:
             }
         else:
             rec_layers, dec_layers = [], []
+            one = _ints_to_limbs(spec, [1])
+            empty = np.zeros((0, spec.num_limbs), np.uint32)
             tables = {
-                "xnn_s": [1],
-                "xnn_s_inv": [1],
-                "z0_s1": [],
-                "z1_s0": [],
-                "z0_inv_s1": [],
-                "z1_inv_s0": [],
-                "z0z0_rem_xnn_s": [],
-                "z1z1_rem_xnn_s": [],
+                "xnn_s": one,
+                "xnn_s_inv": one,
+                "z0_s1": empty,
+                "z1_s0": empty,
+                "z0_inv_s1": empty,
+                "z1_inv_s0": empty,
+                "z0z0_rem_xnn_s": empty,
+                "z1z1_rem_xnn_s": empty,
             }
         sec = TreeSection(f_layers, rec_layers, dec_layers, maps, tables)
-        _write_section(buf, tree.spec, sec, compress)
+        _write_section(buf, spec, sec, compress)
         buf.write(b"\x01" if size > 1 else b"\x00")
         size //= 2
     return buf.getvalue()
@@ -259,11 +356,12 @@ def deserialize_fftree(field: str | FieldSpec, data: bytes, compress: bool = Tru
     """Reconstruct a device FFTree from reference-layout bytes
     (fftree.rs:602-660). Compressed mode regenerates the three inverse
     tables by host batch inversion (fftree.rs:620-628)."""
-    from ecfft_tpu.ec.curve import RationalMap
-    from ecfft_tpu.fftree import FFTree
-    from ecfft_tpu.fields import device as fd
+    import jax
 
-    spec = FIELDS[field] if isinstance(field, str) else field
+    from ecfft_tpu.ec.curve import RationalMap
+    from ecfft_tpu.fftree import FFTree, finalize_tables
+
+    spec = get_spec(field)
     buf = io.BytesIO(data)
     sections = []
     while True:
@@ -273,29 +371,32 @@ def deserialize_fftree(field: str | FieldSpec, data: bytes, compress: bool = Tru
             break
 
     top = sections[0]
-    n = len(top.f_layers[0])
+    n = top.f_layers[0].shape[0]
     tables = {}
     for sec in sections:
-        m = len(sec.f_layers[0])
+        m = sec.f_layers[0].shape[0]
         if m < 2:
             continue
         t = {}
-        t["leaves"] = fd.encode(spec, sec.f_layers[0])
+        t["leaves"] = sec.f_layers[0]
         mats = []
         for li in range(max(m.bit_length() - 2, 0)):
-            dec = fd.encode(spec, sec.dec_layers[li])
-            rec = fd.encode(spec, sec.rec_layers[li])
+            # numpy slicing: eager jnp strided indexing costs a gather
+            # computation per slice (ruinous on a remote backend)
+            dec = np.asarray(sec.dec_layers[li])
+            rec = np.asarray(sec.rec_layers[li])
             mats.append((dec[1::2], dec[0::2], rec[0::2], rec[1::2]))
         t["mats"] = mats
         for k, v in sec.tables.items():
-            t[k] = fd.encode(spec, v)
+            t[k] = np.asarray(v)
         tables[m] = t
 
-    from ecfft_tpu.fftree import finalize_tables
-
-    finalize_tables(spec, tables)
+    # derive the extend tables on the CPU backend; callers move the tree
+    # to an accelerator with place_on()/prepare()
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        finalize_tables(spec, tables)
     tree = FFTree(spec, n, tables)
-    tree.f_layers = top.f_layers
+    tree.f_layers = [_limbs_to_ints(spec, la) for la in top.f_layers]
     tree.maps = [
         RationalMap(tuple(num), tuple(den), spec.p) for num, den in top.maps
     ]

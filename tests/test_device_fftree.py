@@ -126,6 +126,12 @@ def test_redc_and_mod(trees):
     assert list(dev.decode(got[0])) == host.modular_reduce(
         vals, host.xnn_s, host.z0z0_rem_xnn_s
     )
+    # z1 variant against the host oracle (fftree.rs:272-275)
+    a1 = dev.tables[n]["z1z1_rem_xnn_s"]
+    got = dev.redc_z1(enc, a1)
+    assert list(dev.decode(got[0])) == host.redc_z1(
+        vals, host.z1z1_rem_xnn_s
+    )
 
 
 def test_subtree_dispatch(trees):
@@ -152,9 +158,8 @@ def test_eval_domain(trees):
 
 
 def test_canonical_mod_scheduled_path(trees):
-    """MOD/REDC with the tree's own tables must route through the
+    """Canonical MOD/REDC (no explicit modulus) must route through the
     schedule machine and agree with the generic path bit-for-bit."""
-    import jax.numpy as jnp
     import numpy as np
 
     spec, n, dev, host = trees
@@ -163,12 +168,13 @@ def test_canonical_mod_scheduled_path(trees):
     enc = dev.encode([vals])
     a = dev.tables[n]["xnn_s"]
     c = dev.tables[n]["z0z0_rem_xnn_s"]
-    fast = dev.modular_reduce(enc, a, c)
+    fast = dev.modular_reduce(enc)
     assert list(dev.decode(fast[0])) == host.modular_reduce(
         vals, host.xnn_s, host.z0z0_rem_xnn_s
     )
-    slow = dev.modular_reduce(enc, jnp.array(np.asarray(a)),
-                              jnp.array(np.asarray(c)))
+    slow = dev.modular_reduce(enc, a, c)
     assert np.array_equal(np.asarray(fast), np.asarray(slow))
-    fast_r = dev.redc_z0(enc, a)
+    fast_r = dev.redc_z0(enc)
     assert list(dev.decode(fast_r[0])) == host.redc_z0(vals, host.xnn_s)
+    with pytest.raises(TypeError):
+        dev.modular_reduce(enc, a)
