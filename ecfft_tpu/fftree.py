@@ -397,14 +397,18 @@ class FFTree:
             }
         return self
 
-    def _run_sched(self, sched, batch, m_out: int, one_pos: int):
-        """Run a schedule on a (..., m, L) batch; returns (..., m_out, L)."""
+    def _run_sched(self, sched, batch, m_out: int, one_pos: int,
+                   extras: tuple = ()):
+        """Run a schedule on a (..., m, L) batch; returns (..., m_out, L).
+        ``extras`` are unbatched (m, L) tables packed after the batch
+        along the position axis (inside the jitted computation)."""
         from ecfft_tpu.ops import schedule as sch
 
         lead = batch.shape[:-2]
         flat = batch.reshape((-1,) + batch.shape[-2:])
+        payload = (flat, *extras) if extras else flat
         use_pallas = jax.default_backend() == "tpu"
-        res = sch.run_schedule(self.spec, self._pool, sched, flat,
+        res = sch.run_schedule(self.spec, self._pool, sched, payload,
                                one_pos, m_out, use_pallas)
         return res.reshape(lead + res.shape[-2:])
 
@@ -484,7 +488,28 @@ class FFTree:
         return _exit_jit(self.spec, t, evals)
 
     def degree(self, evals):
-        """Degree of the interpolant, batched int32 (fftree.rs:195-198)."""
+        """Degree of the interpolant, batched int32 (fftree.rs:195-198).
+
+        Runs single-scan on the schedule machine (OP_CMPSEL implements
+        the reference's data-dependent branch per batch lane); the
+        accumulator rides the state as a field element and is decoded
+        host-side."""
+        from ecfft_tpu.ops import schedule as sch
+
+        n = evals.shape[-2]
+        self._size_check(n)
+        if n == 1:
+            return np.zeros(evals.shape[:-2], dtype=np.int32)
+        s = self._schedule(("degree", n),
+                           lambda: sch.degree_schedule(self, n))
+        out = np.asarray(self._run_sched(s, evals, 1, 2 * n + 2))
+        acc = out[..., 0, :].astype(np.int64)
+        val = np.zeros(acc.shape[:-1], dtype=np.int64)
+        for li in range(min(acc.shape[-1], 2)):
+            val |= acc[..., li] << (self.spec.limb_bits * li)
+        return val.astype(np.int32)
+
+    def degree_unscheduled(self, evals):
         n = evals.shape[-2]
         self._size_check(n)
         t = self._subtables("ext z0_inv_s1", n)
@@ -516,6 +541,22 @@ class FFTree:
         return self._redc(evals, a, S1)
 
     def _redc(self, evals, a, moiety):
+        """General-modulus REDC on the schedule machine: [evals ‖ a]
+        packs along the position axis; a₀⁻¹ comes from a scheduled
+        Fermat chain (see ops.schedule.general_mod_schedule)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        m = evals.shape[-2]
+        self._size_check(m)
+        s = self._schedule(
+            ("gredc", m, moiety),
+            lambda: sch.general_mod_schedule(self, m, moiety,
+                                             redc_only=True),
+        )
+        one_pos = 2 * m + 3 * (m // 2)
+        return self._run_sched(s, evals, m, one_pos, extras=(a,))
+
+    def _redc_unscheduled(self, evals, a, moiety):
         m = evals.shape[-2]
         self._size_check(m)
         t = self.tables[m]
@@ -531,11 +572,11 @@ class FFTree:
         reference's bench pattern) — and runs single-scan on the schedule
         machine. Passing explicit ``a`` AND ``c`` takes the general path.
         """
+        from ecfft_tpu.ops import schedule as sch
+
         m = evals.shape[-2]
         self._size_check(m)
         if a is None and c is None:
-            from ecfft_tpu.ops import schedule as sch
-
             s = self._schedule(("mod", m), lambda: sch.mod_schedule(self, m))
             return self._run_sched(s, evals, m, 2 * m)
         if a is None or c is None:
@@ -543,11 +584,31 @@ class FFTree:
                 "modular_reduce needs both a and c (or neither for the "
                 "canonical X^(m/2) form)"
             )
+        s = self._schedule(
+            ("gmod", m),
+            lambda: sch.general_mod_schedule(self, m, S0, redc_only=False),
+        )
+        one_pos = 3 * m + 3 * (m // 2)
+        return self._run_sched(s, evals, m, one_pos, extras=(a, c))
+
+    def modular_reduce_unscheduled(self, evals, a, c):
+        m = evals.shape[-2]
+        self._size_check(m)
         t = self.tables[m]
         return _mod_jit(self.spec, t["ext"], t["z0_inv_s1"], evals, a, c)
 
     def vanish(self, points):
-        """⟨Z ≀ S⟩ for Z(x) = Π (x − aᵢ) (fftree.rs:313-316)."""
+        """⟨Z ≀ S⟩ for Z(x) = Π (x − aᵢ), single-scan on the schedule
+        machine (fftree.rs:313-316; pairwise merges are OP_MUL steps)."""
+        from ecfft_tpu.ops import schedule as sch
+
+        v = points.shape[-2]
+        self._size_check(v * 2)
+        s = self._schedule(("vanish", v),
+                           lambda: sch.vanish_schedule(self, v))
+        return self._run_sched(s, points, 2 * v, 4 * v)
+
+    def vanish_unscheduled(self, points):
         v = points.shape[-2]
         self._size_check(v * 2)
         t = self._subtables("ext z0_s1", v * 2)

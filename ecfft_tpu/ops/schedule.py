@@ -18,11 +18,21 @@ is a composition of one primitive shape:
   into g1/g2 for free.
 
 So a whole transform compiles to ONE ``lax.scan`` over per-step tensors
-(a_idx, b_idx, g1, g2) — the "schedule" — with coefficients fetched from
-a flat "pool" of table rows. The FFTree stops being code and becomes a
-program: one tiny compiled interpreter runs ENTER, EXIT, EXTEND, MEXTEND,
-REDC and MOD for every size, and adding an algorithm adds data, not a
-compile.
+(op, a_idx, b_idx, g1, g2) — the "schedule" — with coefficients fetched
+from a flat "pool" of table rows. The FFTree stops being code and becomes
+a program: one tiny compiled interpreter runs ALL EIGHT algorithms
+(ENTER, EXIT, EXTEND, MEXTEND, DEGREE, REDC, MOD, VANISH — matching the
+reference's uniform treatment, fftree.rs:123-316) for every size, and
+adding an algorithm adds data, not a compile.
+
+Three step opcodes cover everything:
+- OP_AFFINE: out[p] = pool[a[p]]·x[g1[p]] + pool[b[p]]·x[g2[p]]
+- OP_MUL:    out[p] = x[g1[p]]·x[g2[p]]  — state×state products
+  (VANISH's pairwise merges, DEGREE's t1 term, general-modulus REDC's
+  e·a⁻¹ / g·a products, and the scheduled Fermat inversion chain)
+- OP_CMPSEL: comp_b = ∀p: x[a[p]] == x[b[p]] (one bool per batch lane);
+  out[p] = comp ? x[g1[p]] : x[g2[p]] — DEGREE's data-dependent branch
+  (fftree.rs:180-191) as a lane-wise select.
 
 State layout: (W, B, L) — position-major so each gather moves a
 contiguous (B, L) row (batch rides the TPU lane dimension), limb-minor so
@@ -50,12 +60,16 @@ from ecfft_tpu.ops.core import S0, S1, _ilog2
 ZERO = 0  # pool row of zeros
 ONE = 1   # pool row of one
 
+OP_AFFINE = 0
+OP_MUL = 1
+OP_CMPSEL = 2
+
 
 # ----------------------------------------------------------------- pool
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _build_pool_arrays(spec: FieldSpec, tables):
+@partial(jax.jit, static_argnums=(0, 2))
+def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple):
     """One jitted computation for the whole pool: tiny eager ops would
     each pay this environment's per-computation remote-compile cost."""
     L = spec.num_limbs
@@ -64,7 +78,7 @@ def _build_pool_arrays(spec: FieldSpec, tables):
         t = tables[k]
         ext = t["ext"]
         for arr in (ext["s0"][0], ext["s0"][1], ext["s1"][0], ext["s1"][1]):
-            rows.append(arr.reshape(-1, L))
+            rows.append(jnp.asarray(arr).reshape(-1, L))
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
                      "z1_inv_s0", "z0z0_rem_xnn_s"):
             rows.append(t[name])
@@ -78,6 +92,13 @@ def _build_pool_arrays(spec: FieldSpec, tables):
         rows.append(fd.mul(spec, z00[0::2], xnninv[0::2]))
         rows.append(fd.mul(spec, z0inv, z00[1::2]))
         rows.append(fd.neg(spec, xnninv))
+        # negated inverse tables (DEGREE's t1 term, general-modulus REDC)
+        rows.append(fd.neg(spec, z0inv))
+        rows.append(fd.neg(spec, t["z1_inv_s0"]))
+        # const k/2 (DEGREE's accumulator increment, fftree.rs:188)
+        rows.append(fd.encode(spec, [k // 2]))
+    # negated 2-leaf domain (VANISH's base case x − l_b, fftree.rs:293-298)
+    rows.append(fd.neg(spec, tables[sizes[0]]["leaves2"]))
     return jnp.concatenate(rows, axis=0)
 
 
@@ -95,9 +116,11 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
                        "z0_inv_s1", "z1_inv_s0", "z0z0_rem_xnn_s")}
         for k in tree.tables
     }
+    sizes = tuple(sorted(tables))
+    tables[sizes[0]]["leaves2"] = tree.tables[2]["leaves"]
     off = {}
     cursor = 2
-    for k in sorted(tables):
+    for k in sizes:
         t = tables[k]
         ext = t["ext"]
         for name, arr in (
@@ -114,10 +137,14 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
             cursor += t[name].shape[0]
         half = k // 2
         for name, cnt in (("neg_a1_z0inv", half), ("c0_a0inv", half),
-                          ("zc1", half), ("neg_xnninv", k)):
+                          ("zc1", half), ("neg_xnninv", k),
+                          ("neg_z0_inv_s1", half), ("neg_z1_inv_s0", half),
+                          ("half_const", 1)):
             off[f"{name}_{k}"] = cursor
             cursor += cnt
-    return _build_pool_arrays(spec, tables), off
+    off["neg_leaf2"] = cursor
+    cursor += 2
+    return _build_pool_arrays(spec, tables, sizes), off
 
 
 # ------------------------------------------------------------- schedules
@@ -129,10 +156,14 @@ class _Builder:
     Width is rounded up to a multiple of 128 so the Pallas step kernel
     can use a large position tile (a multiple-of-8 width forced an 8-row
     tile => 16k grid programs at n=2^16, and per-program overhead
-    dominated the kernel); the pad rows stay passthrough forever."""
+    dominated the kernel); the pad rows stay passthrough forever.
 
-    def __init__(self, W: int):
+    ``one_pos`` (required for OP_MUL steps) is the state position holding
+    the constant 1: a mul step's passthrough form is x[p]·x[one_pos]."""
+
+    def __init__(self, W: int, one_pos: int | None = None):
         self.W = (W + 127) & ~127
+        self.one_pos = one_pos
         self.steps = []
 
     def new_step(self):
@@ -141,15 +172,39 @@ class _Builder:
         g1 = np.arange(W, dtype=np.int32)
         br = np.full(W, ZERO, np.int32)
         g2 = np.arange(W, dtype=np.int32)
-        self.steps.append((ar, g1, br, g2))
-        return self.steps[-1]
+        self.steps.append((OP_AFFINE, ar, g1, br, g2))
+        return self.steps[-1][1:]
+
+    def new_mul_step(self):
+        """out[p] = x[g1[p]]·x[g2[p]]; defaults to x[p]·1."""
+        assert self.one_pos is not None, "mul steps need one_pos"
+        W = self.W
+        ar = np.full(W, ZERO, np.int32)  # unused by OP_MUL
+        g1 = np.arange(W, dtype=np.int32)
+        br = np.full(W, ZERO, np.int32)
+        g2 = np.full(W, self.one_pos, np.int32)
+        self.steps.append((OP_MUL, ar, g1, br, g2))
+        return self.steps[-1][1:]
+
+    def new_cmpsel_step(self):
+        """comp = ∀p x[ar[p]] == x[br[p]] (per batch lane);
+        out[p] = comp ? x[g1[p]] : x[g2[p]]. Defaults: trivially-true
+        compare, passthrough select."""
+        W = self.W
+        ar = np.arange(W, dtype=np.int32)  # state idx (compare lhs)
+        g1 = np.arange(W, dtype=np.int32)
+        br = np.arange(W, dtype=np.int32)  # state idx (compare rhs)
+        g2 = np.arange(W, dtype=np.int32)
+        self.steps.append((OP_CMPSEL, ar, g1, br, g2))
+        return self.steps[-1][1:]
 
     def arrays(self):
-        a = np.stack([s[0] for s in self.steps])
-        g1 = np.stack([s[1] for s in self.steps])
-        b = np.stack([s[2] for s in self.steps])
-        g2 = np.stack([s[3] for s in self.steps])
-        return a, g1, b, g2
+        op = np.asarray([s[0] for s in self.steps], np.int32)
+        a = np.stack([s[1] for s in self.steps])
+        g1 = np.stack([s[2] for s in self.steps])
+        b = np.stack([s[3] for s in self.steps])
+        g2 = np.stack([s[4] for s in self.steps])
+        return op, a, g1, b, g2
 
 
 def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
@@ -374,6 +429,197 @@ def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
     return bld.arrays()
 
 
+def degree_schedule(tree, n: int):
+    """DEGREE as a schedule (fftree.rs:169-198).
+
+    Per level k: extend the even evals onto S₁, compare against the odd
+    evals (one OP_CMPSEL bool per batch lane), and select either the
+    low path (keep e₀) or the high path t₀ = extend((e₁−g₁)·z₀⁻¹, S₀),
+    accumulating k/2 on the high path. The accumulator rides the state
+    as a field element; the wrapper decodes it to int32.
+
+    State: V [0,n) evals · SA [n,3n/2) extend scratch · SB [3n/2,2n)
+    t₁/t₀ scratch · acc at 2n · acc+k/2 at 2n+1 · one at 2n+2.
+    """
+    off = tree.pool_offsets
+    one_pos = 2 * n + 2
+    bld = _Builder(2 * n + 3, one_pos=one_pos)
+    sa = 1 * n
+    sb = n + n // 2
+    acc, acc_s = 2 * n, 2 * n + 1
+    k = n
+    while k >= 2:
+        bs = k // 2
+        I = np.arange(bs)
+        SA, SB = sa + I, sb + I
+        if bs == 1:
+            ar, g1, br, g2 = bld.new_step()  # identity extend = copy
+            g1[SA] = 2 * I
+        else:
+            bld.nblocks = 1
+            _emit_extend(bld, off, k, S1,
+                         lambda j, i: sa + i, src_region=lambda j, i: 2 * i)
+        # t1 = z0inv·e1 − z0inv·g1 → SB; acc_s = acc + k/2 (same step)
+        ar, g1, br, g2 = bld.new_step()
+        ar[SB] = off[f"z0_inv_s1_{k}"] + I
+        g1[SB] = 2 * I + 1
+        br[SB] = off[f"neg_z0_inv_s1_{k}"] + I
+        g2[SB] = SA
+        g1[acc_s] = acc
+        br[acc_s] = off[f"half_const_{k}"]
+        g2[acc_s] = one_pos
+        if bs > 1:
+            bld.nblocks = 1
+            _emit_extend(bld, off, k, S0,
+                         lambda j, i: sb + i, src_region=lambda j, i: sb + i)
+        # low = (g1 == e1)? keep evens (and acc) : take t0 (and acc+k/2)
+        ar, g1, br, g2 = bld.new_cmpsel_step()
+        ar[SA] = SA
+        br[SA] = 2 * I + 1
+        g1[I] = 2 * I
+        g2[I] = SB
+        g1[acc] = acc
+        g2[acc] = acc_s
+        k //= 2
+    ar, g1, br, g2 = bld.new_step()
+    g1[0] = acc
+    return bld.arrays()
+
+
+def vanish_schedule(tree, v: int):
+    """VANISH of v arbitrary points over the size-2v (sub)tree as a
+    schedule (fftree.rs:291-316): base tables [α−l₀, α−l₁] via the
+    negated 2-leaf domain, then per level one OP_MUL pairwise merge,
+    a batched MEXTEND, and an interleave.
+
+    State: V [0,2v) · SA [2v,3v) products · SB [3v,4v) mextend · one.
+    """
+    off = tree.pool_offsets
+    one_pos = 4 * v
+    bld = _Builder(4 * v + 1, one_pos=one_pos)
+    # base: V[2i+b] = x[i] − l_b (input points arrive at V[0, v))
+    ar, g1, br, g2 = bld.new_step()
+    I = np.arange(v)
+    for b in (0, 1):
+        g1[2 * I + b] = I
+        br[2 * I + b] = off["neg_leaf2"] + b
+        g2[2 * I + b] = one_pos
+    cur = 2
+    while cur < 2 * v:
+        ng = 2 * v // cur // 2  # merged groups this level
+        J, I = np.meshgrid(np.arange(ng), np.arange(cur), indexing="ij")
+        J, I = J.ravel(), I.ravel()
+        SA = 2 * v + J * cur + I
+        SB = 3 * v + J * cur + I
+        # q_s0 = left · right (state×state)
+        ar, g1, br, g2 = bld.new_mul_step()
+        g1[SA] = (2 * J) * cur + I
+        g2[SA] = (2 * J + 1) * cur + I
+        # mextend q onto S1 of the size-2·cur tree
+        bld.nblocks = ng
+        _emit_extend(bld, off, 2 * cur, S1,
+                     lambda j, i: 3 * v + j * cur + i,
+                     src_region=lambda j, i: 2 * v + j * cur + i)
+        ar, g1, br, g2 = bld.new_step()
+        br[SB] = off[f"z0_s1_{2 * cur}"] + I
+        g2[SB] = one_pos
+        # interleave back onto V
+        ar, g1, br, g2 = bld.new_step()
+        g1[J * 2 * cur + 2 * I] = SA
+        g1[J * 2 * cur + 2 * I + 1] = SB
+        cur *= 2
+    return bld.arrays()
+
+
+def general_mod_schedule(tree, m: int, moiety: int = S0,
+                         redc_only: bool = False):
+    """REDC (and MOD) with a RUNTIME modulus table, fully scheduled
+    (fftree.rs:232-289): the caller packs [evals ‖ a] (REDC) or
+    [evals ‖ a ‖ c] (MOD) along the position axis. a₀⁻¹ is computed by
+    a scheduled Fermat chain (square-and-multiply over p−2, OP_MUL
+    steps) — the reference burns a batch_inversion per call here
+    (fftree.rs:236); we burn ~2·log p scan steps and stay inside the
+    single compiled interpreter.
+
+    State: V [0,m) evals/result · A [m,2m) · C [2m,3m) (MOD only) ·
+    AI a₀⁻¹ · SA · SB (each m/2) · one.
+    """
+    off = tree.pool_offsets
+    spec = tree.spec
+    bs = m // 2
+    base = 2 * m if redc_only else 3 * m
+    ai, sa, sb = base, base + bs, base + 2 * bs
+    one_pos = base + 3 * bs
+    bld = _Builder(one_pos + 1, one_pos=one_pos)
+    I = np.arange(bs)
+    AI, SA, SB = ai + I, sa + I, sb + I
+    A0, A1 = m + 2 * I, m + 2 * I + 1
+    E0, E1 = 2 * I, 2 * I + 1
+
+    # --- scheduled Fermat: AI = a₀^(p−2) ---
+    ar, g1, br, g2 = bld.new_step()
+    g1[AI] = A0  # acc = base (top exponent bit)
+    ebits = bin(spec.p - 2)[2:]
+    for bit in ebits[1:]:
+        ar, g1, br, g2 = bld.new_mul_step()
+        g1[AI] = AI
+        g2[AI] = AI  # square
+        if bit == "1":
+            ar, g1, br, g2 = bld.new_mul_step()
+            g1[AI] = AI
+            g2[AI] = A0  # multiply by base
+
+    other = S1 if moiety == S0 else S0
+    zinv = (off[f"z0_inv_s1_{m}"] if moiety == S0
+            else off[f"z1_inv_s0_{m}"])
+    neg_zinv = (off[f"neg_z0_inv_s1_{m}"] if moiety == S0
+                else off[f"neg_z1_inv_s0_{m}"])
+
+    def redc_pass(e0_src, e1_src):
+        """SA ← h0, SB ← h1 for input evals at (e0_src, e1_src)."""
+        # t0 = e0·a0inv → SA
+        ar, g1, br, g2 = bld.new_mul_step()
+        g1[SA] = e0_src
+        g2[SA] = AI
+        # g1v = extend(t0, other) in place
+        if bs > 1:
+            bld.nblocks = 1
+            _emit_extend(bld, off, m, other, lambda j, i: sa + i)
+        # g1v·a1 in place
+        ar, g1, br, g2 = bld.new_mul_step()
+        g1[SA] = SA
+        g2[SA] = A1
+        # h1 = zinv·e1 + neg_zinv·(g1v·a1) → SB
+        ar, g1, br, g2 = bld.new_step()
+        ar[SB] = zinv + I
+        g1[SB] = e1_src
+        br[SB] = neg_zinv + I
+        g2[SB] = SA
+        # h0 = extend(h1, moiety) → SA
+        if bs > 1:
+            bld.nblocks = 1
+            _emit_extend(bld, off, m, moiety, lambda j, i: sa + i,
+                         src_region=lambda j, i: sb + i)
+        else:
+            ar, g1, br, g2 = bld.new_step()
+            g1[SA] = SB
+
+    redc_pass(E0, E1)
+    if not redc_only:
+        # scale by c (hc0 = h0·c_even, hc1 = h1·c_odd), second REDC
+        ar, g1, br, g2 = bld.new_mul_step()
+        g1[SA] = SA
+        g2[SA] = 2 * m + 2 * I
+        g1[SB] = SB
+        g2[SB] = 2 * m + 2 * I + 1
+        redc_pass(SA, SB)
+    # interleave (h0, h1) onto V
+    ar, g1, br, g2 = bld.new_step()
+    g1[2 * I] = SA
+    g1[2 * I + 1] = SB
+    return bld.arrays()
+
+
 # --------------------------------------------------------------- runtime
 #
 # State layout (W, L, B): limbs on the sublane axis, BATCH on the lane
@@ -461,8 +707,14 @@ def _muladd2_cols(spec: FieldSpec, A, x1, B, x2):
             jnp.swapaxes(x2, -1, -2),
         )
         return jnp.swapaxes(out, -1, -2)
-    L = spec.num_limbs
     c = _conv_cols(spec, A, x1) + _conv_cols(spec, B, x2)
+    return _reduce_cols(spec, c)
+
+
+def _reduce_cols(spec: FieldSpec, c):
+    """Product columns (W, 2L, B) → canonical field value (W, L, B):
+    fold, normalize, then the conditional-subtract chain."""
+    L = spec.num_limbs
     c = _normalize_cols(_fold_cols(spec, c))
     c = _normalize_cols(_fold_cols(spec, c))
     slack = 16 * L - spec.p.bit_length()
@@ -481,6 +733,19 @@ def _muladd2_cols(spec: FieldSpec, A, x1, B, x2):
     return x[..., :L, :]
 
 
+def _mulss(spec: FieldSpec, x1, x2):
+    """State×state field product in the (W, L, B) layout (OP_MUL)."""
+    if spec.num_limbs == 1 and spec.p == fd.M31_P:
+        return fd._m31_mul(x1, x2)
+    if spec.fold_terms is None:
+        out = fd.mul(
+            spec, jnp.swapaxes(x1, -1, -2), jnp.swapaxes(x2, -1, -2)
+        )
+        return jnp.swapaxes(out, -1, -2)
+    c = _conv_cols(spec, x1, x2)  # broadcasting handles a = (W, L, B)
+    return _reduce_cols(spec, c)
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
                  m_out: int, use_pallas: bool = False):
@@ -488,12 +753,14 @@ def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
     packing, the scan, and unpacking (eager wrappers would each pay this
     environment's per-computation compile cost).
 
-    ``batch``: (B, m, L) input; ``sched`` = (a_idx, g1, b_idx, g2) each
-    (steps, W) int32; ``pool``: (P, L). With ``use_pallas`` the fused
-    VMEM kernel (ops/pallas_step.py) replaces the XLA muladd2 pipeline —
-    gathers stay in XLA either way (they measured cheap).
+    ``batch``: (B, m, L) input; ``sched`` = (op, a_idx, g1, b_idx, g2),
+    op (steps,) int32 and the rest (steps, W) int32; ``pool``: (P, L).
+    With ``use_pallas`` the fused VMEM kernel (ops/pallas_step.py)
+    replaces the XLA muladd2 pipeline for affine steps — gathers stay in
+    XLA either way (they measured cheap).
     """
-    W = sched[0].shape[1]
+    op, a_idx, g1_idx, b_idx, g2_idx = sched
+    W = a_idx.shape[1]
     x = to_state(batch, W, one_pos)
     pallas_ok = (
         use_pallas
@@ -503,19 +770,31 @@ def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
     )
 
     def body(state, inp):
-        a_i, g1, b_i, g2 = inp
+        op_t, a_i, g1, b_i, g2 = inp
         x1 = jnp.take(state, g1, axis=0)
         x2 = jnp.take(state, g2, axis=0)
-        if pallas_ok:
-            from ecfft_tpu.ops.pallas_step import pallas_muladd2
 
-            A = jnp.take(pool, a_i, axis=0)  # (W, L)
-            Bc = jnp.take(pool, b_i, axis=0)
-            out = pallas_muladd2(spec, A, Bc, x1, x2)
-        else:
+        def affine(_):
+            if pallas_ok:
+                from ecfft_tpu.ops.pallas_step import pallas_muladd2
+
+                A = jnp.take(pool, a_i, axis=0)  # (W, L)
+                Bc = jnp.take(pool, b_i, axis=0)
+                return pallas_muladd2(spec, A, Bc, x1, x2)
             A = jnp.take(pool, a_i, axis=0)[:, :, None]  # (W, L, 1)
             Bc = jnp.take(pool, b_i, axis=0)[:, :, None]
-            out = _muladd2_cols(spec, A, x1, Bc, x2)
+            return _muladd2_cols(spec, A, x1, Bc, x2)
+
+        def mul(_):
+            return _mulss(spec, x1, x2)
+
+        def cmpsel(_):
+            c1 = jnp.take(state, a_i, axis=0)
+            c2 = jnp.take(state, b_i, axis=0)
+            comp = jnp.all(c1 == c2, axis=(0, 1))  # (B,)
+            return jnp.where(comp[None, None, :], x1, x2)
+
+        out = jax.lax.switch(op_t, [affine, mul, cmpsel], None)
         return out, None
 
     out, _ = jax.lax.scan(body, x, sched)
@@ -524,7 +803,20 @@ def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
 
 def to_state(batch_arr, W: int, one_pos: int):
     """(B, m, L) batch → (W, L, B) state with a constant 1 at one_pos
-    (skipped when the schedule has no tail slots, e.g. the NTT)."""
+    (skipped when the schedule has no tail slots, e.g. the NTT).
+
+    ``batch_arr`` may be a tuple of parts concatenated along the position
+    axis (general-modulus REDC/MOD pack [evals ‖ a ‖ c]); unbatched
+    (m, L) parts broadcast against the first part's batch dims.
+    """
+    if isinstance(batch_arr, (tuple, list)):
+        lead = batch_arr[0].shape[:-2]
+        batch_arr = jnp.concatenate(
+            [batch_arr[0]]
+            + [jnp.broadcast_to(p, lead + p.shape[-2:])
+               for p in batch_arr[1:]],
+            axis=-2,
+        )
     B, m, L = batch_arr.shape
     x = jnp.transpose(batch_arr, (1, 2, 0))  # (m, L, B)
     if W == m:
