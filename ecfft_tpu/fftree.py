@@ -136,11 +136,10 @@ def _tile_extend(spec: FieldSpec, mats, tree_size: int) -> dict:
 
 
 def finalize_tables(spec: FieldSpec, tables: dict) -> dict:
-    """Derive the compile-flat extend tables from the serialized matrix
-    form for every size (used after deserialization)."""
-    for m, t in tables.items():
-        if "ext" not in t:
-            t["ext"] = _tile_extend(spec, t["mats"], m)
+    """Kept for API compatibility; pre-scattered extend tables are now
+    derived LAZILY (FFTree._ext) so precomputation stays O(n) like the
+    reference (README.md:24) — the schedule machine reads the compact
+    Lemma-3.2 matrices directly."""
     return tables
 
 
@@ -283,6 +282,7 @@ class FFTree:
         n = len(f_layers[0])
         enc_layers = [fd.encode(spec, layer) for layer in f_layers]
         tables: dict[int, dict] = {}
+        exts: dict[int, dict] = {}  # construction-transient (O(n log n))
         for m in [1 << i for i in range(1, _ilog2(n) + 1)]:
             stride = n // m
             t: dict = {}
@@ -301,7 +301,11 @@ class FFTree:
                 # (fftree.rs:87-91,108-112)
                 mats.append((dec[1::2], dec[0::2], rec[0::2], rec[1::2]))
             t["mats"] = mats
-            t["ext"] = _tile_extend(spec, mats, m)
+            # pre-scattered tables feed only the construction bootstrap's
+            # flat-scan ops; the persistent FFTree keeps the COMPACT
+            # matrices (O(n) space total, matching README.md:24)
+            ext = _tile_extend(spec, mats, m)
+            exts[m] = ext
 
             if m == 2:
                 # base cases (fftree.rs:399-403,454-458)
@@ -315,18 +319,24 @@ class FFTree:
                 t["z1z1_rem_xnn_s"] = jnp.broadcast_to(sq[1:2], sq.shape)
             else:
                 vt_prev = {
-                    k: {"ext": tables[k]["ext"], "z0_s1": tables[k]["z0_s1"]}
+                    k: {"ext": exts[k], "z0_s1": tables[k]["z0_s1"]}
                     for k in tables
                 }
+                st = {"ext": exts[m // 2]}
+                st.update(
+                    (kk, tables[m // 2][kk])
+                    for kk in ("z0_s1", "z1_s0", "z0_inv_s1", "xnn_s",
+                               "xnn_s_inv", "z0z0_rem_xnn_s",
+                               "z1z1_rem_xnn_s")
+                )
                 t.update(
-                    _z_step(
-                        spec, t["ext"], s, tables[m // 2], vt_prev,
-                        tables[2]["leaves"],
-                    )
+                    _z_step(spec, ext, s, st, vt_prev, tables[2]["leaves"])
                 )
 
             tables[m] = t
-        return cls(spec, n, tables, f_layers=f_layers, maps=list(maps))
+        tree = cls(spec, n, tables, f_layers=f_layers, maps=list(maps))
+        tree._ext_cache = exts  # reuse for the *_unscheduled variants
+        return tree
 
     # ------------------------------------------------------------ helpers
 
@@ -348,9 +358,24 @@ class FFTree:
         if m > self.n:
             raise SizeError("FFTree is too small")
 
+    def _ext(self, m: int) -> dict:
+        """Pre-scattered flat-scan EXTEND coefficient tables for tree
+        size ``m``, derived lazily from the compact Lemma-3.2 matrices
+        and cached. Only the ``*_unscheduled`` cross-validation variants
+        and the construction bootstrap consume these; the public
+        (schedule-machine) path gathers the compact matrices directly,
+        keeping persistent precomputation O(n) (README.md:24)."""
+        cache = getattr(self, "_ext_cache", None)
+        if cache is None:
+            cache = self._ext_cache = {}
+        if m not in cache:
+            cache[m] = _tile_extend(self.spec, self.tables[m]["mats"], m)
+        return cache[m]
+
     def _subtables(self, key: str, up_to: int) -> dict:
         return {
-            k: {kk: self.tables[k][kk] for kk in key.split()}
+            k: {kk: (self._ext(k) if kk == "ext" else self.tables[k][kk])
+                for kk in key.split()}
             for k in self.tables
             if k <= up_to
         }
@@ -463,19 +488,19 @@ class FFTree:
     def extend_unscheduled(self, evals, moiety: int = S1):
         m = evals.shape[-2]
         self._size_check(m * 2)
-        return _extend_jit(self.spec, self.tables[m * 2]["ext"], evals, moiety)
+        return _extend_jit(self.spec, self._ext(m * 2), evals, moiety)
 
     def mextend_unscheduled(self, evals, moiety: int = S1):
         m = evals.shape[-2]
         self._size_check(m * 2)
         t = self.tables[m * 2]
         z = t["z0_s1"] if moiety == S1 else t["z1_s0"]
-        return _mextend_jit(self.spec, t["ext"], z, evals, moiety)
+        return _mextend_jit(self.spec, self._ext(m * 2), z, evals, moiety)
 
     def enter_unscheduled(self, coeffs):
         n = coeffs.shape[-2]
         self._size_check(n)
-        ext = {k: self.tables[k]["ext"] for k in self.tables if k <= n}
+        ext = {k: self._ext(k) for k in self.tables if k <= n}
         xnn = {k: self.tables[k]["xnn_s"] for k in self.tables if k <= n}
         return _enter_jit(self.spec, ext, xnn, coeffs)
 
@@ -561,7 +586,7 @@ class FFTree:
         self._size_check(m)
         t = self.tables[m]
         z_inv = t["z0_inv_s1"] if moiety == S0 else t["z1_inv_s0"]
-        return _redc_jit(self.spec, t["ext"], z_inv, evals, a, moiety)
+        return _redc_jit(self.spec, self._ext(m), z_inv, evals, a, moiety)
 
     def modular_reduce(self, evals, a=None, c=None):
         """MOD: remainder of P by ``a`` given c = ⟨Z₀² mod a ≀ S⟩
@@ -595,7 +620,7 @@ class FFTree:
         m = evals.shape[-2]
         self._size_check(m)
         t = self.tables[m]
-        return _mod_jit(self.spec, t["ext"], t["z0_inv_s1"], evals, a, c)
+        return _mod_jit(self.spec, self._ext(m), t["z0_inv_s1"], evals, a, c)
 
     def vanish(self, points):
         """⟨Z ≀ S⟩ for Z(x) = Π (x − aᵢ), single-scan on the schedule

@@ -215,7 +215,7 @@ def build_fftree_native(field: str | FieldSpec, n: int):
     must agree bit-for-bit (tested)."""
     import jax.numpy as jnp
 
-    from ecfft_tpu.fftree import FFTree, _tile_extend
+    from ecfft_tpu.fftree import FFTree
 
     spec = FIELDS[field] if isinstance(field, str) else field
     dom = build_domain(spec, n)
@@ -241,7 +241,6 @@ def build_fftree_native(field: str | FieldSpec, n: int):
                 )
             mats.append(tuple(parts))
         t["mats"] = mats
-        t["ext"] = _tile_extend(spec, mats, m)
         tables[m] = t
         m *= 2
 

@@ -105,27 +105,34 @@ def _make_kernel(spec: FieldSpec):
 
 @partial(jax.jit, static_argnums=(0, 5))
 def pallas_muladd2(spec: FieldSpec, A, B, x1, x2, interpret: bool = False):
-    """A, B: (W, L) coefficient rows; x1, x2: (W, L, Bt) states."""
+    """A, B: (W, L) coefficient rows; x1, x2: (W, L, Bt) states.
+
+    2-D grid (position tile × batch tile): the conv intermediates scale
+    with TW·L·TB, so tiling the BATCH keeps VMEM bounded at any batch
+    size (a 1-D grid OOM'd above batch ~96 at n=2^16 — the round-1
+    BASELINE config blocker)."""
     W, L, Bt = x1.shape
-    # TW bounds the kernel's scoped VMEM (conv intermediates scale with
-    # TW*L*B); 128 OOM'd at B=96, 32 fits with headroom
-    TW = 32 if W % 128 == 0 else 8
+    TB = 128 if Bt % 128 == 0 else Bt
+    # scoped-VMEM footprint scales with TW·L·max(TB, 128) (sub-lane-width
+    # batches pad to the full 128-lane tile, costing as much as TB=128);
+    # TW=32 sits under the 16M scoped limit only when TB is lane-exact
+    TW = 32 if (W % 128 == 0 and TB % 128 == 0) else 8
     assert W % TW == 0, "state width must be padded to the position tile"
     kernel = _make_kernel(spec)
     return pl.pallas_call(
         kernel,
-        grid=(W // TW,),
+        grid=(W // TW, Bt // TB),
         in_specs=[
-            pl.BlockSpec((TW, L), lambda i: (i, 0),
+            pl.BlockSpec((TW, L), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TW, L), lambda i: (i, 0),
+            pl.BlockSpec((TW, L), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TW, L, Bt), lambda i: (i, 0, 0),
+            pl.BlockSpec((TW, L, TB), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TW, L, Bt), lambda i: (i, 0, 0),
+            pl.BlockSpec((TW, L, TB), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TW, L, Bt), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((TW, L, TB), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((W, L, Bt), jnp.uint32),
         interpret=interpret,

@@ -76,9 +76,13 @@ def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple):
     rows = [jnp.zeros((1, L), jnp.uint32), fd.ones(spec, (1,))]
     for k in sorted(tables):
         t = tables[k]
-        ext = t["ext"]
-        for arr in (ext["s0"][0], ext["s0"][1], ext["s1"][0], ext["s1"][1]):
-            rows.append(jnp.asarray(arr).reshape(-1, L))
+        # COMPACT Lemma-3.2 matrices (fftree.rs:338-363), not the
+        # pre-scattered per-position tables: the schedule's own gather
+        # indices do the position→matrix-entry scattering at runtime, so
+        # the pool stays O(n) like the reference's FFTree (README.md:24)
+        for quad in t["mats"]:
+            for arr in quad:  # (dec_S0, dec_S1, rec_S0, rec_S1) per depth
+                rows.append(jnp.asarray(arr).reshape(-1, L))
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
                      "z1_inv_s0", "z0z0_rem_xnn_s"):
             rows.append(t[name])
@@ -112,7 +116,7 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
     spec = tree.spec
     tables = {
         k: {kk: tree.tables[k][kk]
-            for kk in ("ext", "xnn_s", "xnn_s_inv", "z0_s1", "z1_s0",
+            for kk in ("mats", "xnn_s", "xnn_s_inv", "z0_s1", "z1_s0",
                        "z0_inv_s1", "z1_inv_s0", "z0z0_rem_xnn_s")}
         for k in tree.tables
     }
@@ -122,15 +126,12 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
     cursor = 2
     for k in sizes:
         t = tables[k]
-        ext = t["ext"]
-        for name, arr in (
-            ("dec_s0", ext["s0"][0]),
-            ("rec_s0", ext["s0"][1]),
-            ("dec_s1", ext["s1"][0]),
-            ("rec_s1", ext["s1"][1]),
-        ):
-            off[f"{name}_{k}"] = cursor
-            cursor += int(np.prod(arr.shape[:-1]))
+        for d, quad in enumerate(t["mats"]):
+            for pi, arr in enumerate(quad):
+                # (half, 2, 2, L) flattened row-major: row of matrix
+                # entry (r, c) of matrix i is base + i*4 + r*2 + c
+                off[f"mat_{k}_{d}_{pi}"] = cursor
+                cursor += int(np.prod(arr.shape[:-1]))
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
                      "z1_inv_s0", "z0z0_rem_xnn_s"):
             off[f"{name}_{k}"] = cursor
@@ -221,26 +222,37 @@ def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
     if bs == 1:
         return  # size-1 extend is the identity (fftree.rs:74-76)
     logm = _ilog2(bs)
-    key = "s0" if moiety == S0 else "s1"
-    dec_off = off[f"dec_{key}_{k}"]
-    rec_off = off[f"rec_{key}_{k}"]
+    pi_dec = 0 if moiety == S0 else 1
+    pi_rec = 2 if moiety == S0 else 3
     nblocks = bld.nblocks
     J, I = np.meshgrid(np.arange(nblocks), np.arange(bs), indexing="ij")
     J, I = J.ravel(), I.ravel()
     P = np.asarray(region(J, I))
+
+    def mat_rows(d: int, pi: int):
+        """Pool rows of the COMPACT depth-d matrices for each position:
+        position i uses matrix i & (half−1); butterfly bit clear reads
+        row 0 (self = M00, partner = M01), bit set row 1 (self = M11,
+        partner = M10) — the moiety-selected Lemma-3.2 scattering
+        (fftree.rs:83-97,104-118) as runtime gather indices instead of
+        pre-scattered O(n log n) coefficient tables."""
+        half = bs >> (d + 1)
+        base = off[f"mat_{k}_{d}_{pi}"]
+        ent = base + (I & (half - 1)) * 4
+        bit = (I & half) != 0
+        return np.where(bit, ent + 3, ent), np.where(bit, ent + 2, ent + 1)
+
     for d in range(logm):
         half = bs >> (d + 1)
         ar, g1, br, g2 = bld.new_step()
         src = src_region if (d == 0 and src_region is not None) else region
-        ar[P] = dec_off + (d * bs + I) * 2
-        br[P] = dec_off + (d * bs + I) * 2 + 1
+        ar[P], br[P] = mat_rows(d, pi_dec)
         g1[P] = src(J, I)
         g2[P] = src(J, I ^ half)
     for d in reversed(range(logm)):
         half = bs >> (d + 1)
         ar, g1, br, g2 = bld.new_step()
-        ar[P] = rec_off + (d * bs + I) * 2
-        br[P] = rec_off + (d * bs + I) * 2 + 1
+        ar[P], br[P] = mat_rows(d, pi_rec)
         g1[P] = P
         g2[P] = region(J, I ^ half)
 

@@ -61,7 +61,4 @@ def load_tables_npz(path: str):
         tables[m]["mats"] = [tuple(byd[d]) for d in sorted(byd)]
     for m in tables:
         tables[m].setdefault("mats", [])
-    from ecfft_tpu.fftree import finalize_tables
-
-    finalize_tables(spec, tables)
     return FFTree(spec, n, tables)
