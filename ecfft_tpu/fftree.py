@@ -397,7 +397,10 @@ class FFTree:
     def _schedule(self, key, builder):
         self._ensure_pool()
         if key not in self._scheds:
-            self._scheds[key] = tuple(jnp.asarray(a) for a in builder())
+            s = builder()
+            self._scheds[key] = s._replace(
+                xs=tuple(jnp.asarray(a) for a in s.xs)
+            )
         return self._scheds[key]
 
     def prepare(self, sizes: tuple | None = None):
@@ -418,7 +421,8 @@ class FFTree:
         if hasattr(self, "_pool"):
             self._pool = jax.device_put(self._pool, device)
             self._scheds = {
-                k: jax.device_put(v, device) for k, v in self._scheds.items()
+                k: v._replace(xs=jax.device_put(v.xs, device))
+                for k, v in self._scheds.items()
             }
         return self
 
@@ -433,8 +437,8 @@ class FFTree:
         flat = batch.reshape((-1,) + batch.shape[-2:])
         payload = (flat, *extras) if extras else flat
         use_pallas = jax.default_backend() == "tpu"
-        res = sch.run_schedule(self.spec, self._pool, sched, payload,
-                               one_pos, m_out, use_pallas)
+        res = sch.run_schedule(self.spec, self._pool, sched.xs, payload,
+                               one_pos, m_out, sched.W, use_pallas)
         return res.reshape(lead + res.shape[-2:])
 
     # ---------------------------------------------------------- algorithms

@@ -73,8 +73,12 @@ class NTTPlan:
         self._off_ninv = 2 + n
         self._off_nw = 3 + n
         self._off_niw = 3 + n + n // 2
-        self._fwd = tuple(jnp.asarray(a) for a in self._build(False))
-        self._inv = tuple(jnp.asarray(a) for a in self._build(True))
+        self._fwd = self._build(False)
+        self._fwd = self._fwd._replace(
+            xs=tuple(jnp.asarray(a) for a in self._fwd.xs))
+        self._inv = self._build(True)
+        self._inv = self._inv._replace(
+            xs=tuple(jnp.asarray(a) for a in self._inv.xs))
 
     def _build(self, inverse: bool):
         n = self.n
@@ -107,8 +111,8 @@ class NTTPlan:
         lead = batch.shape[:-2]
         flat = batch.reshape((-1,) + batch.shape[-2:])
         use_pallas = jax.default_backend() == "tpu"
-        out = sch.run_schedule(self.spec, self.pool, sched, flat,
-                               self.n - 1, self.n, use_pallas)
+        out = sch.run_schedule(self.spec, self.pool, sched.xs, flat,
+                               self.n - 1, self.n, sched.W, use_pallas)
         return out.reshape(lead + out.shape[-2:])
 
     def ntt(self, coeffs):

@@ -47,6 +47,7 @@ as the reference's recursion (README.md:7-8), one n-wide step per level.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 
@@ -63,6 +64,19 @@ ONE = 1   # pool row of one
 OP_AFFINE = 0
 OP_MUL = 1
 OP_CMPSEL = 2
+
+
+class Schedule(NamedTuple):
+    """A compiled-to-data transform: ``W`` is the state width (python
+    int, static), ``xs`` the per-step scan tensors
+    (op, start, a, g1, b, g2) with the index arrays window-compacted to
+    (steps, A) — each step computes only its active row window and
+    writes it back with one dynamic_update_slice (most ECFFT steps touch
+    ≤ n of the 2n+1-wide state, so this halves both the per-step VPU
+    work and the schedule's own memory)."""
+
+    W: int
+    xs: tuple
 
 
 # ----------------------------------------------------------------- pool
@@ -199,13 +213,43 @@ class _Builder:
         self.steps.append((OP_CMPSEL, ar, g1, br, g2))
         return self.steps[-1][1:]
 
-    def arrays(self):
-        op = np.asarray([s[0] for s in self.steps], np.int32)
-        a = np.stack([s[1] for s in self.steps])
-        g1 = np.stack([s[2] for s in self.steps])
-        b = np.stack([s[3] for s in self.steps])
-        g2 = np.stack([s[4] for s in self.steps])
-        return op, a, g1, b, g2
+    def arrays(self) -> Schedule:
+        """Window-compact the accumulated steps into a Schedule.
+
+        Per step, the active rows are those whose output differs from a
+        passthrough (and, for OP_CMPSEL, rows contributing a non-trivial
+        compare); the schedule stores only a fixed-width window
+        [start, start+A) covering every step's active span, A = the max
+        span padded to the 128-row position tile. Rows inside a window
+        that aren't active keep their identity defaults, so correctness
+        is unaffected — only wasted compute and index memory shrink.
+        """
+        W = self.W
+        iota = np.arange(W, dtype=np.int32)
+        spans = []
+        for op, a, g1, b, g2 in self.steps:
+            if op == OP_AFFINE:
+                iden = (a == ONE) & (b == ZERO) & (g1 == iota)
+            elif op == OP_MUL:
+                iden = (g1 == iota) & (g2 == self.one_pos)
+            else:  # OP_CMPSEL: both select arms self AND trivial compare
+                iden = (g1 == iota) & (g2 == iota) & (a == b)
+            act = np.nonzero(~iden)[0]
+            spans.append((int(act[0]), int(act[-1]) + 1) if act.size
+                         else (0, 1))
+        A = max(hi - lo for lo, hi in spans)
+        A = min(W, (A + 127) & ~127)
+        ops, starts, cols = [], [], ([], [], [], [])
+        for (op, a, g1, b, g2), (lo, hi) in zip(self.steps, spans):
+            start = min(lo, W - A)
+            ops.append(op)
+            starts.append(start)
+            for acc, arr in zip(cols, (a, g1, b, g2)):
+                acc.append(arr[start:start + A])
+        xs = (np.asarray(ops, np.int32), np.asarray(starts, np.int32),
+              np.stack(cols[0]), np.stack(cols[1]), np.stack(cols[2]),
+              np.stack(cols[3]))
+        return Schedule(W, xs)
 
 
 def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
@@ -758,22 +802,24 @@ def _mulss(spec: FieldSpec, x1, x2):
     return _reduce_cols(spec, c)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
-def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
-                 m_out: int, use_pallas: bool = False):
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
+                 m_out: int, w: int, use_pallas: bool = False):
     """Execute a schedule end-to-end in ONE jitted computation: state
     packing, the scan, and unpacking (eager wrappers would each pay this
     environment's per-computation compile cost).
 
-    ``batch``: (B, m, L) input; ``sched`` = (op, a_idx, g1, b_idx, g2),
-    op (steps,) int32 and the rest (steps, W) int32; ``pool``: (P, L).
-    With ``use_pallas`` the fused VMEM kernel (ops/pallas_step.py)
-    replaces the XLA muladd2 pipeline for affine steps — gathers stay in
-    XLA either way (they measured cheap).
+    ``batch``: (B, m, L) input; ``sched_xs`` = (op, start, a_idx, g1,
+    b_idx, g2), op/start (steps,) int32 and the rest (steps, A) int32
+    window-compacted indices (see _Builder.arrays); ``pool``: (P, L);
+    ``w``: the full state width. Each step gathers its window's inputs
+    from anywhere in the state, computes only the A-row window, and
+    writes it back with one dynamic_update_slice — the rest of the state
+    rides the scan carry untouched. With ``use_pallas`` the fused VMEM
+    kernel (ops/pallas_step.py) replaces the XLA muladd2 pipeline for
+    affine steps — gathers stay in XLA either way (they measured cheap).
     """
-    op, a_idx, g1_idx, b_idx, g2_idx = sched
-    W = a_idx.shape[1]
-    x = to_state(batch, W, one_pos)
+    x = to_state(batch, w, one_pos)
     pallas_ok = (
         use_pallas
         and spec.num_limbs > 1
@@ -782,7 +828,7 @@ def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
     )
 
     def body(state, inp):
-        op_t, a_i, g1, b_i, g2 = inp
+        op_t, start, a_i, g1, b_i, g2 = inp
         x1 = jnp.take(state, g1, axis=0)
         x2 = jnp.take(state, g2, axis=0)
 
@@ -790,10 +836,10 @@ def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
             if pallas_ok:
                 from ecfft_tpu.ops.pallas_step import pallas_muladd2
 
-                A = jnp.take(pool, a_i, axis=0)  # (W, L)
+                A = jnp.take(pool, a_i, axis=0)  # (A, L)
                 Bc = jnp.take(pool, b_i, axis=0)
                 return pallas_muladd2(spec, A, Bc, x1, x2)
-            A = jnp.take(pool, a_i, axis=0)[:, :, None]  # (W, L, 1)
+            A = jnp.take(pool, a_i, axis=0)[:, :, None]  # (A, L, 1)
             Bc = jnp.take(pool, b_i, axis=0)[:, :, None]
             return _muladd2_cols(spec, A, x1, Bc, x2)
 
@@ -807,9 +853,10 @@ def run_schedule(spec: FieldSpec, pool, sched, batch, one_pos: int,
             return jnp.where(comp[None, None, :], x1, x2)
 
         out = jax.lax.switch(op_t, [affine, mul, cmpsel], None)
-        return out, None
+        state = jax.lax.dynamic_update_slice(state, out, (start, 0, 0))
+        return state, None
 
-    out, _ = jax.lax.scan(body, x, sched)
+    out, _ = jax.lax.scan(body, x, sched_xs)
     return from_state(out, m_out)
 
 
