@@ -30,7 +30,8 @@ def log(*a):
 
 
 FIELD = os.environ.get("ECFFT_BENCH_FIELD", "secp256k1")
-N = int(os.environ.get("ECFFT_BENCH_N", str(1 << 14)))
+# default = the BASELINE.md north-star config: ENTER n=2^16, batch 256
+N = int(os.environ.get("ECFFT_BENCH_N", str(1 << 16)))
 BATCH = int(os.environ.get("ECFFT_BENCH_BATCH", "256"))
 REPS = int(os.environ.get("ECFFT_BENCH_REPS", "5"))
 

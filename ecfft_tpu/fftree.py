@@ -437,8 +437,19 @@ class FFTree:
         flat = batch.reshape((-1,) + batch.shape[-2:])
         payload = (flat, *extras) if extras else flat
         use_pallas = jax.default_backend() == "tpu"
+        # bound the HBM peak: state + two gathers + the step output are
+        # each (A, L, B); keep a chunk's set under ~4 GB on accelerators
+        B = flat.shape[0]
+        chunk = None
+        if use_pallas:
+            per_lane = 4 * sched.W * self.spec.num_limbs * 4
+            max_lanes = max(128, int(4e9 // per_lane) // 128 * 128)
+            if B > max_lanes and B % 128 == 0:
+                chunk = max_lanes
+                while B % chunk:
+                    chunk -= 128
         res = sch.run_schedule(self.spec, self._pool, sched.xs, payload,
-                               one_pos, m_out, sched.W, use_pallas)
+                               one_pos, m_out, sched.W, use_pallas, chunk)
         return res.reshape(lead + res.shape[-2:])
 
     # ---------------------------------------------------------- algorithms

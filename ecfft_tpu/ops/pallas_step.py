@@ -35,15 +35,21 @@ MASK16 = 0xFFFF  # python int: jnp scalars become captured consts in pallas
 def _make_kernel(spec: FieldSpec):
     L = spec.num_limbs
     fold_terms = spec.fold_terms
-    assert fold_terms is not None and sum(d for _, d in fold_terms) < (1 << 10)
+    mont = fold_terms is None  # CIOS Montgomery path (see ops/schedule.py)
+    assert mont or sum(d for _, d in fold_terms) < (1 << 10)
     slack = 16 * L - spec.p.bit_length()
-    js = [0] if slack == 0 else list(range(slack + 1, -1, -1))
+    if mont:
+        js = list(range(slack + 7, -1, -1))  # CIOS bound 2^(16L+7)
+    else:
+        js = [0] if slack == 0 else list(range(slack + 1, -1, -1))
     W1 = L + 1
     comps = [
         tuple(((1 << (16 * W1)) - (spec.p << j)) >> (16 * i) & 0xFFFF
               for i in range(W1))
         for j in js
     ]
+    p_limbs = spec.to_limbs(spec.p)
+    n_prime = spec.n_prime if mont else None
 
     def ripple(cols):
         """Exact serial carry propagation; returns canonical cols + top."""
@@ -90,8 +96,22 @@ def _make_kernel(spec: FieldSpec):
             for j in range(L):
                 cols[i + j] = cols[i + j] + lo[:, j, :]
                 cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
-        c = ripple(fold(cols))
-        c = ripple(fold(c))
+        if mont:
+            # CIOS word-serial Montgomery reduction: residents are in
+            # Montgomery form, so one pass yields (A·x1 + B·x2)·R⁻¹
+            for _ in range(L):
+                m = (cols[0] * n_prime) & MASK16
+                for t in range(L):
+                    prod = m * p_limbs[t]
+                    cols[t] = cols[t] + (prod & MASK16)
+                    cols[t + 1] = cols[t + 1] + (prod >> 16)
+                carry = cols[0] >> 16  # low 16 bits are exactly zero
+                cols = cols[1:]
+                cols[0] = cols[0] + carry
+            c = ripple(cols[: L + 1])
+        else:
+            c = ripple(fold(cols))
+            c = ripple(fold(c))
         x = c[:W1]
         for comp in comps:
             s = [x[i] + comp[i] for i in range(W1)]

@@ -747,23 +747,75 @@ def _conv_cols(spec: FieldSpec, a, x):
     return c
 
 
+def _mont_reduce_cols(spec: FieldSpec, c):
+    """Word-serial Montgomery reduction (CIOS) in the (W, cols, B)
+    layout: product columns (< 2^22, width ≥ L+1) → canonical value·R⁻¹.
+
+    For fold-unfriendly primes the schedule keeps every resident value in
+    Montgomery form (value·R), so each affine/mul step needs exactly ONE
+    of these reductions — the reference's arkworks backend works the same
+    way (Fp256<MontBackend>, lib.rs:37). L unrolled iterations of
+    whole-tensor ops; the redundant-column invariant (< 2^22 plus one
+    sub-2^17 addend per iteration) keeps everything exact in uint32."""
+    L = spec.num_limbs
+    n_prime = jnp.uint32(spec.n_prime)
+    p_limbs = spec.to_limbs(spec.p)
+    w = c.shape[-2]
+    if w < 2 * L + 1:
+        c = jnp.concatenate(
+            [c, jnp.zeros((*c.shape[:-2], 2 * L + 1 - w, c.shape[-1]),
+                          jnp.uint32)], -2)
+    cols = [c[..., i, :] for i in range(c.shape[-2])]
+    for _ in range(L):
+        m = (cols[0] * n_prime) & _MASKc
+        for i in range(L):
+            prod = m * jnp.uint32(p_limbs[i])
+            cols[i] = cols[i] + (prod & _MASKc)
+            cols[i + 1] = cols[i + 1] + (prod >> 16)
+        carry = cols[0] >> 16  # low 16 bits are exactly zero now
+        cols = cols[1:]
+        cols[0] = cols[0] + carry
+    # CIOS bound: result < orig/2^(16L) + p < 2^(16L+7), so L+1 columns
+    # suffice (the normalize spill column is provably zero)
+    x = _normalize_cols(jnp.stack(cols[: L + 1], axis=-2))[..., : L + 1, :]
+    # canonicalize (CMPSEL equality needs canonical values): binary
+    # conditional-subtract chain over p·2^j, j from the bound down to 0
+    W1 = L + 1
+    slack = 16 * L - spec.p.bit_length()
+    for j in range(slack + 7, -1, -1):
+        comp = jnp.asarray(
+            [((1 << (16 * W1)) - (spec.p << j)) >> (16 * i) & 0xFFFF
+             for i in range(W1)],
+            dtype=jnp.uint32,
+        )[:, None]
+        y = _normalize_cols(x + comp)
+        need = y[..., W1, :] > 0
+        x = jnp.where(need[..., None, :], y[..., :W1, :], x)
+    return x[..., :L, :]
+
+
+def _to_mont_cols(spec: FieldSpec, x):
+    """Canonical (.., L, B) → Montgomery form (value·R) via one
+    conv-with-R² + reduction."""
+    r2 = jnp.asarray(spec.to_limbs(spec.r2_mod_p), jnp.uint32)
+    return _mont_reduce_cols(spec, _conv_cols(spec, r2[None, :, None], x))
+
+
+def _from_mont_cols(spec: FieldSpec, x):
+    """Montgomery form → canonical: reduce once more (·R⁻¹)."""
+    return _mont_reduce_cols(spec, x)
+
+
 def _muladd2_cols(spec: FieldSpec, A, x1, B, x2):
-    """Fused A·x1 + B·x2 in the (W, L, B) layout."""
+    """Fused A·x1 + B·x2 in the (W, L, B) layout. For fold-unfriendly
+    primes all operands are in Montgomery form and the sum of products
+    takes a single CIOS reduction (A·R · x·R · R⁻¹ = (Ax)·R)."""
     if spec.num_limbs == 1 and spec.p == fd.M31_P:
         # m31: plain elementwise fast path
         return fd._m31_add(fd._m31_mul(A, x1), fd._m31_mul(B, x2))
-    if spec.fold_terms is None:
-        # fold-unfriendly prime (e.g. the 2-adic STARK prime): run the
-        # Montgomery-scan fallback in limb-last layout
-        out = fd.muladd2(
-            spec,
-            jnp.swapaxes(A, -1, -2),
-            jnp.swapaxes(x1, -1, -2),
-            jnp.swapaxes(B, -1, -2),
-            jnp.swapaxes(x2, -1, -2),
-        )
-        return jnp.swapaxes(out, -1, -2)
     c = _conv_cols(spec, A, x1) + _conv_cols(spec, B, x2)
+    if spec.fold_terms is None:
+        return _mont_reduce_cols(spec, c)
     return _reduce_cols(spec, c)
 
 
@@ -793,18 +845,16 @@ def _mulss(spec: FieldSpec, x1, x2):
     """State×state field product in the (W, L, B) layout (OP_MUL)."""
     if spec.num_limbs == 1 and spec.p == fd.M31_P:
         return fd._m31_mul(x1, x2)
-    if spec.fold_terms is None:
-        out = fd.mul(
-            spec, jnp.swapaxes(x1, -1, -2), jnp.swapaxes(x2, -1, -2)
-        )
-        return jnp.swapaxes(out, -1, -2)
     c = _conv_cols(spec, x1, x2)  # broadcasting handles a = (W, L, B)
+    if spec.fold_terms is None:  # Montgomery residents: one reduction
+        return _mont_reduce_cols(spec, c)
     return _reduce_cols(spec, c)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
 def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
-                 m_out: int, w: int, use_pallas: bool = False):
+                 m_out: int, w: int, use_pallas: bool = False,
+                 batch_chunk: int | None = None):
     """Execute a schedule end-to-end in ONE jitted computation: state
     packing, the scan, and unpacking (eager wrappers would each pay this
     environment's per-computation compile cost).
@@ -818,13 +868,29 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
     rides the scan carry untouched. With ``use_pallas`` the fused VMEM
     kernel (ops/pallas_step.py) replaces the XLA muladd2 pipeline for
     affine steps — gathers stay in XLA either way (they measured cheap).
+
+    ``batch_chunk``: process the batch in lane-tile-sized chunks inside
+    the one compiled computation (lax.map over the chunk axis). HBM peak
+    scales with the per-chunk state (state + two gathers + the step
+    output are each (A, L, B) — batch 256 at n=2^16 secp256k1 is ~10 GB
+    live and faults a 16 GB chip; chunks of 128 halve it while the
+    transform still serves the full batch in a single call).
     """
     x = to_state(batch, w, one_pos)
+    # fold-unfriendly primes (e.g. the 2-adic STARK prime of the
+    # comparison bench): keep the pool and the whole resident state in
+    # MONTGOMERY form (value·R) so every step needs exactly one CIOS
+    # reduction — the same representation the reference's arkworks
+    # backend uses (Fp256<MontBackend>, lib.rs:37). Conversion costs one
+    # mul per element at entry/exit vs O(log² n) muls inside.
+    mont = spec.num_limbs > 1 and spec.fold_terms is None
+    if mont:
+        pool = _to_mont_cols(spec, pool[:, :, None])[..., 0]
+        x = _to_mont_cols(spec, x)
     pallas_ok = (
         use_pallas
         and spec.num_limbs > 1
-        and spec.fold_terms is not None
-        and sum(d for _, d in spec.fold_terms) < (1 << 10)
+        and (mont or sum(d for _, d in spec.fold_terms) < (1 << 10))
     )
 
     def body(state, inp):
@@ -856,7 +922,20 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
         state = jax.lax.dynamic_update_slice(state, out, (start, 0, 0))
         return state, None
 
-    out, _ = jax.lax.scan(body, x, sched_xs)
+    def run_one(xc):
+        out, _ = jax.lax.scan(body, xc, sched_xs)
+        return out
+
+    B = x.shape[-1]
+    if batch_chunk is not None and batch_chunk < B and B % batch_chunk == 0:
+        xc = x.reshape(*x.shape[:-1], B // batch_chunk, batch_chunk)
+        xc = jnp.moveaxis(xc, -2, 0)  # (chunks, W, L, Bc)
+        out = jax.lax.map(run_one, xc)
+        out = jnp.moveaxis(out, 0, -2).reshape(*x.shape)
+    else:
+        out = run_one(x)
+    if mont:
+        out = _from_mont_cols(spec, out)
     return from_state(out, m_out)
 
 

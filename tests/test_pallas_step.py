@@ -45,6 +45,37 @@ def test_pallas_muladd2_edge_values():
             assert got[w][b] == 2 * v * v % p
 
 
+def test_pallas_mont_kernel_matches_ints():
+    """Fold-unfriendly prime (the comparison bench's STARK prime): the
+    CIOS Montgomery kernel computes (A·x1 + B·x2)·R⁻¹ on Montgomery-form
+    residents — composing with the schedule's entry/exit conversions
+    this is exact field arithmetic (ops/schedule.py run_schedule)."""
+    from ecfft_tpu.fields.registry import spec_for_prime
+    from ecfft_tpu.ntt import STARK_P
+
+    spec = spec_for_prime(STARK_P, "stark_pallas_test")
+    assert spec.fold_terms is None
+    p = spec.p
+    R = 1 << (16 * spec.num_limbs)
+    R_inv = pow(R, -1, p)
+    W, B = 16, 4
+    rng = random.Random(7)
+    A_i = [rng.randrange(p) for _ in range(W)]
+    B_i = [rng.randrange(p) for _ in range(W)]
+    x1_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    x2_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    A = fd.encode(spec, A_i)
+    Bc = fd.encode(spec, B_i)
+    x1 = jnp.transpose(fd.encode(spec, x1_i), (0, 2, 1))
+    x2 = jnp.transpose(fd.encode(spec, x2_i), (0, 2, 1))
+    out = pallas_muladd2(spec, A, Bc, x1, x2, True)
+    got = fd.decode(spec, jnp.transpose(out, (0, 2, 1)))
+    for w in range(W):
+        for b in range(B):
+            exp = (A_i[w] * x1_i[w][b] + B_i[w] * x2_i[w][b]) * R_inv % p
+            assert got[w][b] == exp
+
+
 def test_pallas_rejects_unpadded_width():
     spec = FIELDS["secp256k1"]
     z = jnp.zeros((10, 16, 4), jnp.uint32)
