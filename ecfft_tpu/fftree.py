@@ -449,7 +449,8 @@ class FFTree:
                 while B % chunk:
                     chunk -= 128
         res = sch.run_schedule(self.spec, self._pool, sched.xs, payload,
-                               one_pos, m_out, sched.W, use_pallas, chunk)
+                               one_pos, m_out, sched.W, use_pallas, chunk,
+                               sched.out_perm)
         return res.reshape(lead + res.shape[-2:])
 
     # ---------------------------------------------------------- algorithms
@@ -542,7 +543,7 @@ class FFTree:
             return np.zeros(evals.shape[:-2], dtype=np.int32)
         s = self._schedule(("degree", n),
                            lambda: sch.degree_schedule(self, n))
-        out = np.asarray(self._run_sched(s, evals, 1, 2 * n + 2))
+        out = np.asarray(self._run_sched(s, evals, 1, n + 2))
         acc = out[..., 0, :].astype(np.int64)
         val = np.zeros(acc.shape[:-1], dtype=np.int64)
         for li in range(min(acc.shape[-1], 2)):

@@ -73,10 +73,14 @@ class Schedule(NamedTuple):
     (steps, A) — each step computes only its active row window and
     writes it back with one dynamic_update_slice (most ECFFT steps touch
     ≤ n of the 2n+1-wide state, so this halves both the per-step VPU
-    work and the schedule's own memory)."""
+    work and the schedule's own memory). ``out_perm`` optionally maps
+    output rows to state rows post-scan (one gather), letting builders
+    keep moiety-planar layouts with tight windows and still deliver
+    domain-ordered results."""
 
     W: int
     xs: tuple
+    out_perm: np.ndarray | None = None
 
 
 # ----------------------------------------------------------------- pool
@@ -494,20 +498,30 @@ def degree_schedule(tree, n: int):
     accumulating k/2 on the high path. The accumulator rides the state
     as a field element; the wrapper decodes it to int32.
 
-    State: V [0,n) evals · SA [n,3n/2) extend scratch · SB [3n/2,2n)
-    t₁/t₀ scratch · acc at 2n · acc+k/2 at 2n+1 · one at 2n+2.
+    State: V [0,n) evals · acc at n · acc+k/2 at n+1 · one at n+2 ·
+    SA [n+3, n+3+n/2) extend scratch · SB t₁/t₀ scratch. Every step is
+    laid out to keep its active span ≤ n/2+1: the accumulator update is
+    its own one-row step; the branch select is TWO cmpsel steps (V rows,
+    then acc) whose compare index pairs ride as free-riders on
+    passthrough rows inside each window — so the whole schedule windows
+    to ~n/2 instead of ~2n (4× less per-step work after compaction).
     """
     off = tree.pool_offsets
-    one_pos = 2 * n + 2
-    bld = _Builder(2 * n + 3, one_pos=one_pos)
-    sa = 1 * n
-    sb = n + n // 2
-    acc, acc_s = 2 * n, 2 * n + 1
+    acc, acc_s = n, n + 1
+    one_pos = n + 2
+    sa = n + 3
+    sb = sa + n // 2
+    bld = _Builder(sb + n // 2, one_pos=one_pos)
     k = n
     while k >= 2:
         bs = k // 2
         I = np.arange(bs)
         SA, SB = sa + I, sb + I
+        # acc_s = acc + k/2 (one-row step)
+        ar, g1, br, g2 = bld.new_step()
+        g1[acc_s] = acc
+        br[acc_s] = off[f"half_const_{k}"]
+        g2[acc_s] = one_pos
         if bs == 1:
             ar, g1, br, g2 = bld.new_step()  # identity extend = copy
             g1[SA] = 2 * I
@@ -515,28 +529,35 @@ def degree_schedule(tree, n: int):
             bld.nblocks = 1
             _emit_extend(bld, off, k, S1,
                          lambda j, i: sa + i, src_region=lambda j, i: 2 * i)
-        # t1 = z0inv·e1 − z0inv·g1 → SB; acc_s = acc + k/2 (same step)
+        # t1 = z0inv·e1 − z0inv·g1 → SB
         ar, g1, br, g2 = bld.new_step()
         ar[SB] = off[f"z0_inv_s1_{k}"] + I
         g1[SB] = 2 * I + 1
         br[SB] = off[f"neg_z0_inv_s1_{k}"] + I
         g2[SB] = SA
-        g1[acc_s] = acc
-        br[acc_s] = off[f"half_const_{k}"]
-        g2[acc_s] = one_pos
         if bs > 1:
             bld.nblocks = 1
             _emit_extend(bld, off, k, S0,
                          lambda j, i: sb + i, src_region=lambda j, i: sb + i)
-        # low = (g1 == e1)? keep evens (and acc) : take t0 (and acc+k/2)
+        # low path iff extend(e₀) == e₁. cmpsel 1: acc row FIRST (the
+        # V-select below overwrites the odd evals the compare reads) —
+        # the compare pairs ride as free-riders on passthrough rows just
+        # below acc, so the window stays [acc−bs, acc]
         ar, g1, br, g2 = bld.new_cmpsel_step()
-        ar[SA] = SA
-        br[SA] = 2 * I + 1
-        g1[I] = 2 * I
-        g2[I] = SB
+        rows = acc - bs + I
+        ar[rows] = SA
+        br[rows] = 2 * I + 1
         g1[acc] = acc
         g2[acc] = acc_s
+        # cmpsel 2: V rows — compare pairs sit on the SAME rows being
+        # written (ar/br are compare indices, g1/g2 the select)
+        ar, g1, br, g2 = bld.new_cmpsel_step()
+        ar[I] = SA
+        br[I] = 2 * I + 1
+        g1[I] = 2 * I
+        g2[I] = SB
         k //= 2
+    # expose acc at row 0 for from_state (reads row n, writes row 0)
     ar, g1, br, g2 = bld.new_step()
     g1[0] = acc
     return bld.arrays()
@@ -544,47 +565,65 @@ def degree_schedule(tree, n: int):
 
 def vanish_schedule(tree, v: int):
     """VANISH of v arbitrary points over the size-2v (sub)tree as a
-    schedule (fftree.rs:291-316): base tables [α−l₀, α−l₁] via the
-    negated 2-leaf domain, then per level one OP_MUL pairwise merge,
-    a batched MEXTEND, and an interleave.
+    schedule (fftree.rs:291-316): base values [α−l₀, α−l₁] via the
+    negated 2-leaf domain, then per level one OP_MUL pairwise merge and
+    a batched MEXTEND.
 
-    State: V [0,2v) · SA [2v,3v) products · SB [3v,4v) mextend · one.
+    Values live MOIETY-PLANAR: two v-row planes (S0 values, S1 values)
+    that ping-pong with the two v-row scratch planes each level — a
+    merged group's S0 plane IS the product plane and its S1 plane IS
+    the mextend output, so there are no interleave steps and every
+    step's active span is exactly v (the naive interleaved layout
+    spanned 2v and doubled the post-compaction window). The final
+    domain-ordered interleave is a post-scan output permutation
+    (run_schedule's out_perm).
+
+    Returns (schedule, out_perm).
     """
     off = tree.pool_offsets
     one_pos = 4 * v
     bld = _Builder(4 * v + 1, one_pos=one_pos)
-    # base: V[2i+b] = x[i] − l_b (input points arrive at V[0, v))
-    ar, g1, br, g2 = bld.new_step()
     I = np.arange(v)
-    for b in (0, 1):
-        g1[2 * I + b] = I
-        br[2 * I + b] = off["neg_leaf2"] + b
-        g2[2 * I + b] = one_pos
+    # base planes (input points arrive at rows [0, v)): S1 plane first —
+    # the S0 plane overwrites the inputs in place
+    ar, g1, br, g2 = bld.new_step()
+    g1[v + I] = I
+    br[v + I] = off["neg_leaf2"] + 1
+    g2[v + I] = one_pos
+    ar, g1, br, g2 = bld.new_step()
+    br[I] = off["neg_leaf2"] + 0
+    g2[I] = one_pos
+    base = 0  # current planes at [base, base+2v); scratch at the other
     cur = 2
     while cur < 2 * v:
         ng = 2 * v // cur // 2  # merged groups this level
-        J, I = np.meshgrid(np.arange(ng), np.arange(cur), indexing="ij")
-        J, I = J.ravel(), I.ravel()
-        SA = 2 * v + J * cur + I
-        SB = 3 * v + J * cur + I
-        # q_s0 = left · right (state×state)
+        scratch = 2 * v - base
+        mc = cur // 2  # per-moiety size of a child group
+        J, T = np.meshgrid(np.arange(ng), np.arange(cur), indexing="ij")
+        J, T = J.ravel(), T.ravel()
+        # child value at domain position t: even → S0 plane, odd → S1
+        def child(c, t):
+            return base + np.where(t % 2 == 0, 0, v) + c * mc + t // 2
+        SA = scratch + J * cur + T
+        SB = scratch + v + J * cur + T
+        # q_s0[g, t] = left(t) · right(t) (state×state)
         ar, g1, br, g2 = bld.new_mul_step()
-        g1[SA] = (2 * J) * cur + I
-        g2[SA] = (2 * J + 1) * cur + I
-        # mextend q onto S1 of the size-2·cur tree
+        g1[SA] = child(2 * J, T)
+        g2[SA] = child(2 * J + 1, T)
+        # mextend q onto S1 of the size-2·cur tree → the new S1 plane
         bld.nblocks = ng
         _emit_extend(bld, off, 2 * cur, S1,
-                     lambda j, i: 3 * v + j * cur + i,
-                     src_region=lambda j, i: 2 * v + j * cur + i)
+                     lambda j, i: scratch + v + j * cur + i,
+                     src_region=lambda j, i: scratch + j * cur + i)
         ar, g1, br, g2 = bld.new_step()
-        br[SB] = off[f"z0_s1_{2 * cur}"] + I
+        br[SB] = off[f"z0_s1_{2 * cur}"] + T
         g2[SB] = one_pos
-        # interleave back onto V
-        ar, g1, br, g2 = bld.new_step()
-        g1[J * 2 * cur + 2 * I] = SA
-        g1[J * 2 * cur + 2 * I + 1] = SB
+        base = scratch
         cur *= 2
-    return bld.arrays()
+    perm = np.empty(2 * v, dtype=np.int32)
+    perm[0::2] = base + np.arange(v)
+    perm[1::2] = base + v + np.arange(v)
+    return bld.arrays()._replace(out_perm=perm)
 
 
 def general_mod_schedule(tree, m: int, moiety: int = S0,
@@ -854,7 +893,7 @@ def _mulss(spec: FieldSpec, x1, x2):
 @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
 def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
                  m_out: int, w: int, use_pallas: bool = False,
-                 batch_chunk: int | None = None):
+                 batch_chunk: int | None = None, out_perm=None):
     """Execute a schedule end-to-end in ONE jitted computation: state
     packing, the scan, and unpacking (eager wrappers would each pay this
     environment's per-computation compile cost).
@@ -934,9 +973,13 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
         out = jnp.moveaxis(out, 0, -2).reshape(*x.shape)
     else:
         out = run_one(x)
+    if out_perm is None:
+        out = out[:m_out]
+    else:
+        out = jnp.take(out, jnp.asarray(out_perm), axis=0)
     if mont:
         out = _from_mont_cols(spec, out)
-    return from_state(out, m_out)
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def to_state(batch_arr, W: int, one_pos: int):
