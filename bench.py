@@ -84,7 +84,7 @@ def main():
     # pool + schedules build on CPU (fast, persistently cached), then move
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        tree.prepare((N,))
+        tree.prepare((N,), cache_dir=here)
     tree.place_on(jax.devices()[0])
 
     spec = ec.FIELDS[FIELD]

@@ -403,12 +403,32 @@ class FFTree:
             )
         return self._scheds[key]
 
-    def prepare(self, sizes: tuple | None = None):
+    def prepare(self, sizes: tuple | None = None, cache_dir: str | None = None):
         """Build the coefficient pool and the ENTER/EXIT schedules ahead
         of time (ideally while tables still live on CPU — building them
-        eagerly on the TPU pays per-op remote-compile costs)."""
+        eagerly on the TPU pays per-op remote-compile costs).
+
+        ``cache_dir``: persist the pool to ``<dir>/.pool_<field>_<n>.npz``
+        and reuse it on later runs — the pool is a pure function of
+        (field, n), and its scaled-extend tables cost minutes of CPU
+        field arithmetic at n=2^16 (bench.py uses this)."""
+        import json
+        import os
+
         from ecfft_tpu.ops import schedule as sch
 
+        if cache_dir is not None and not hasattr(self, "_pool"):
+            path = os.path.join(
+                cache_dir, f".pool_{self.spec.name}_{self.n}.npz")
+            if os.path.exists(path):
+                with np.load(path, allow_pickle=False) as z:
+                    self._pool = jnp.asarray(z["pool"])
+                    self._pool_off = json.loads(str(z["offsets"]))
+                    self._scheds = {}
+            else:
+                self._ensure_pool()
+                np.savez(path, pool=np.asarray(self._pool),
+                         offsets=json.dumps(self._pool_off))
         self._ensure_pool()
         for n in sizes or (self.n,):
             self._schedule(("enter", n), lambda: sch.enter_schedule(self, n))

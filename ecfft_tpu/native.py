@@ -76,6 +76,8 @@ def lib() -> ctypes.CDLL:
                                    ctypes.c_char_p]
         _lib.ecn_mul_throughput.restype = ctypes.c_double
         _lib.ecn_mul_throughput.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        _lib.ecn_batch_inv.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                       ctypes.c_uint64, ctypes.c_char_p]
         _lib.ecn_find_curve.restype = ctypes.c_uint64
         _lib.ecn_find_curve.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                         ctypes.c_uint64, ctypes.c_uint64,
@@ -191,6 +193,22 @@ class NativeFFTree:
         out = ctypes.create_string_buffer(32 * cnt)
         lib().ecn_layer(self._h, li, out)
         return _unpack(out.raw)
+
+
+def batch_inv_limbs(spec: FieldSpec, arr: np.ndarray) -> np.ndarray:
+    """Batched modular inverse of an (N, L) uint32 16-bit-limb array via
+    the native engine (Montgomery's trick, ~3 muls/element) — serves the
+    pool build's scaled-extend tables where a pure-XLA product scan on
+    CPU costs minutes at n=2^16. Requires 16-bit limbs and p < 2^256."""
+    assert spec.limb_bits == 16 and spec.num_limbs <= 16
+    n, L = arr.shape
+    rows = np.zeros((n, 16), dtype=np.uint16)
+    rows[:, :L] = arr.astype(np.uint16)
+    buf = rows.tobytes()
+    out = ctypes.create_string_buffer(32 * n)
+    lib().ecn_batch_inv(spec.p.to_bytes(32, "little"), buf, n, out)
+    res = np.frombuffer(out.raw, dtype=np.uint16).reshape(n, 16)
+    return res[:, :L].astype(np.uint32)
 
 
 def _ints_to_limbs(spec: FieldSpec, vals: list[int]) -> np.ndarray:

@@ -32,7 +32,9 @@ from ecfft_tpu.fields.registry import FieldSpec
 MASK16 = 0xFFFF  # python int: jnp scalars become captured consts in pallas
 
 
-def _make_kernel(spec: FieldSpec):
+def _make_helpers(spec: FieldSpec):
+    """Shared reduction tail for the step kernels: exact carry ripple,
+    pseudo-Mersenne fold, CIOS Montgomery pass, conditional subtract."""
     L = spec.num_limbs
     fold_terms = spec.fold_terms
     mont = fold_terms is None  # CIOS Montgomery path (see ops/schedule.py)
@@ -77,6 +79,38 @@ def _make_kernel(spec: FieldSpec):
                 out[off + t] = out[off + t] + cols[L + t] * digit
         return out
 
+    def cios(cols):
+        """Word-serial Montgomery reduction in place (residents in
+        Montgomery form): product columns → canonical·R⁻¹ columns."""
+        for _ in range(L):
+            m = (cols[0] * n_prime) & MASK16
+            for t in range(L):
+                prod = m * p_limbs[t]
+                cols[t] = cols[t] + (prod & MASK16)
+                cols[t + 1] = cols[t + 1] + (prod >> 16)
+            carry = cols[0] >> 16  # low 16 bits are exactly zero
+            cols = cols[1:]
+            cols[0] = cols[0] + carry
+        return ripple(cols[: L + 1])
+
+    def cond_subtract(x, sub_comps):
+        """Canonical W1-wide columns → x mod p (first L cols)."""
+        for comp in sub_comps:
+            s = [x[i] + comp[i] for i in range(W1)]
+            y = ripple(s)
+            need = y[W1] > 0
+            x = [jnp.where(need, y[i], x[i]) for i in range(W1)]
+        return x
+
+    return dict(L=L, mont=mont, W1=W1, comps=comps, ripple=ripple,
+                fold=fold, cios=cios, cond_subtract=cond_subtract)
+
+
+def _make_kernel(spec: FieldSpec):
+    h = _make_helpers(spec)
+    L, mont, W1 = h["L"], h["mont"], h["W1"]
+    ripple, fold, cios = h["ripple"], h["fold"], h["cios"]
+
     def kernel(a_ref, b_ref, x1_ref, x2_ref, o_ref):
         a = a_ref[...]  # (TW, L)
         b = b_ref[...]
@@ -97,30 +131,89 @@ def _make_kernel(spec: FieldSpec):
                 cols[i + j] = cols[i + j] + lo[:, j, :]
                 cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
         if mont:
-            # CIOS word-serial Montgomery reduction: residents are in
-            # Montgomery form, so one pass yields (A·x1 + B·x2)·R⁻¹
-            for _ in range(L):
-                m = (cols[0] * n_prime) & MASK16
-                for t in range(L):
-                    prod = m * p_limbs[t]
-                    cols[t] = cols[t] + (prod & MASK16)
-                    cols[t + 1] = cols[t + 1] + (prod >> 16)
-                carry = cols[0] >> 16  # low 16 bits are exactly zero
-                cols = cols[1:]
-                cols[0] = cols[0] + carry
-            c = ripple(cols[: L + 1])
+            # CIOS: residents are in Montgomery form, so one pass
+            # yields (A·x1 + B·x2)·R⁻¹
+            c = cios(cols)
         else:
             c = ripple(fold(cols))
             c = ripple(fold(c))
-        x = c[:W1]
-        for comp in comps:
-            s = [x[i] + comp[i] for i in range(W1)]
-            y = ripple(s)
-            need = y[W1] > 0
-            x = [jnp.where(need, y[i], x[i]) for i in range(W1)]
+        x = h["cond_subtract"](c[:W1], h["comps"])
         o_ref[...] = jnp.stack(x[:L], axis=1)
 
     return kernel
+
+
+def _make_kernel1(spec: FieldSpec):
+    """out = x1 + C·x2 — the 1-mul step kernel (OP_AFF1/OP_AFF1S).
+
+    Scaled schedules (ops/schedule.py::_emit_extend) absorb one of the
+    two butterfly coefficients into downstream steps, so most steps need
+    a single limb convolution — ~60% of muladd2's VPU work. For the
+    fold path x1 is injected into the product columns before reduction
+    (its contribution is strictly smaller than a second product, so the
+    muladd2 bounds cover it); for the Montgomery path x1 (in Montgomery
+    form like everything resident) is added after CIOS with one
+    conditional subtract."""
+    h = _make_helpers(spec)
+    L, mont, W1 = h["L"], h["mont"], h["W1"]
+    ripple, fold, cios = h["ripple"], h["fold"], h["cios"]
+
+    def kernel(c_ref, x1_ref, x2_ref, o_ref):
+        c_co = c_ref[...]  # (TW, L)
+        x1 = x1_ref[...]  # (TW, L, B)
+        x2 = x2_ref[...]
+        cols = [
+            jnp.zeros(x1.shape[:1] + x1.shape[2:], jnp.uint32)
+            for _ in range(2 * L)
+        ]
+        for i in range(L):
+            p2 = c_co[:, i][:, None, None] * x2
+            lo = p2 & MASK16
+            hi = p2 >> 16
+            for j in range(L):
+                cols[i + j] = cols[i + j] + lo[:, j, :]
+                cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
+        if mont:
+            c = cios(cols)
+            x = h["cond_subtract"](c[:W1], h["comps"])
+            # + x1 (canonical, Montgomery form): one conditional subtract
+            s = [x[i] + x1[:, i, :] for i in range(L)] + [x[L]]
+            x = h["cond_subtract"](ripple(s)[:W1], h["comps"][-1:])
+        else:
+            for j in range(L):
+                cols[j] = cols[j] + x1[:, j, :]
+            c = ripple(fold(cols))
+            c = ripple(fold(c))
+            x = h["cond_subtract"](c[:W1], h["comps"])
+        o_ref[...] = jnp.stack(x[:L], axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def pallas_muladd1(spec: FieldSpec, C, x1, x2, interpret: bool = False):
+    """x1 + C·x2 with C: (W, L) coefficient rows; x1, x2: (W, L, Bt)."""
+    W, L, Bt = x1.shape
+    TB = 128 if Bt % 128 == 0 else Bt
+    TW = 32 if (W % 128 == 0 and TB % 128 == 0) else 8
+    assert W % TW == 0, "state width must be padded to the position tile"
+    kernel = _make_kernel1(spec)
+    return pl.pallas_call(
+        kernel,
+        grid=(W // TW, Bt // TB),
+        in_specs=[
+            pl.BlockSpec((TW, L), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L, TB), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L, TB), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TW, L, TB), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, L, Bt), jnp.uint32),
+        interpret=interpret,
+    )(C, x1, x2)
 
 
 @partial(jax.jit, static_argnums=(0, 5))

@@ -25,14 +25,27 @@ a program: one tiny compiled interpreter runs ALL EIGHT algorithms
 reference's uniform treatment, fftree.rs:123-316) for every size, and
 adding an algorithm adds data, not a compile.
 
-Three step opcodes cover everything:
+Five step opcodes cover everything:
 - OP_AFFINE: out[p] = pool[a[p]]·x[g1[p]] + pool[b[p]]·x[g2[p]]
+- OP_AFF1:   out[p] = x[g1[p]] + pool[b[p]]·x[g2[p]] — the 1-mul
+  workhorse: scaled butterfly levels (see _emit_extend), ENTER's
+  combine, pure scales (x1 = the always-zero pad row) and mul-free
+  copies (C = 0)
+- OP_AFF1S:  OP_AFF1 with x1 read as the window slice itself (g1 ≡
+  identity) — skips one whole-state gather per step
 - OP_MUL:    out[p] = x[g1[p]]·x[g2[p]]  — state×state products
   (VANISH's pairwise merges, DEGREE's t1 term, general-modulus REDC's
   e·a⁻¹ / g·a products, and the scheduled Fermat inversion chain)
 - OP_CMPSEL: comp_b = ∀p: x[a[p]] == x[b[p]] (one bool per batch lane);
   out[p] = comp ? x[g1[p]] : x[g2[p]] — DEGREE's data-dependent branch
   (fftree.rs:180-191) as a lane-wise select.
+
+Butterfly networks are emitted SCALED (the TPU twiddle-absorption
+analogue): all but the last level of every EXTEND run as OP_AFF1S with
+one absorbed coefficient per row, and the last recombine level applies
+the accumulated per-row diagonal as a normal 2-mul OP_AFFINE — outputs
+are bit-identical to the reference's algorithm at ~55% of the multiply
+work (u32 multiplies are the VPU bottleneck; adds are ~4× cheaper).
 
 State layout: (W, B, L) — position-major so each gather moves a
 contiguous (B, L) row (batch rides the TPU lane dimension), limb-minor so
@@ -64,6 +77,8 @@ ONE = 1   # pool row of one
 OP_AFFINE = 0
 OP_MUL = 1
 OP_CMPSEL = 2
+OP_AFF1 = 3   # out[p] = x[g1[p]] + pool[b[p]]·x[g2[p]] — 1-mul step
+OP_AFF1S = 4  # same, but x1 = the window slice itself (g1 ≡ identity)
 
 
 class Schedule(NamedTuple):
@@ -86,21 +101,125 @@ class Schedule(NamedTuple):
 # ----------------------------------------------------------------- pool
 
 
+def _batch_inv(spec: FieldSpec, a):
+    """Batched modular inverse of (N, L) rows: two associative product
+    scans + ONE Fermat chain on the total product (Montgomery's batch-
+    inversion trick, log-depth — the reference leans on
+    ark_ff::batch_inversion the same way, fftree.rs:330-333)."""
+    mulf = lambda x, y: fd.mul(spec, x, y)  # noqa: E731
+    pre = jax.lax.associative_scan(mulf, a, axis=0)
+    suf = jax.lax.associative_scan(mulf, a, axis=0, reverse=True)
+    inv_tot = fd.inv(spec, pre[-1])
+    ones = fd.ones(spec, (1,))
+    pre_excl = jnp.concatenate([ones, pre[:-1]], axis=0)
+    suf_excl = jnp.concatenate([suf[1:], ones], axis=0)
+    return mulf(mulf(pre_excl, suf_excl), inv_tot)
+
+
+def _scaled_extend_levels(spec: FieldSpec, mats, m: int, mo: int):
+    """Per-level absorbed butterfly coefficients for a size-2m extend.
+
+    The Lemma-3.2 network (fftree.rs:72-120) applies, per row p and
+    level, out[p] = Mself·x[p] + Mpart·x[p^half] — two field muls per
+    row. Here each non-final level is rewritten as the 1-mul form
+    out[p] = x[p] + C·x[p^half] by tracking a per-row diagonal scale
+    D[p] (out' = out/D, D ← Mself·D); the LAST level applies
+    A = Mself·D[p], B = Mpart·D[p^half] (2-mul), so extend outputs are
+    exactly unscaled. Returns (numerators, denominators, finalA, finalB):
+    C tables = numer·inv(denom), with the inversions deferred so the
+    whole pool build shares one batched inversion (_batch_inv)."""
+    logm = m.bit_length() - 1
+    pi_dec = 0 if mo == S0 else 1
+    pi_rec = 2 if mo == S0 else 3
+    levels = [(pi_dec, d) for d in range(logm)]
+    levels += [(pi_rec, d) for d in reversed(range(logm))]
+    p = np.arange(m)
+    mselfs, mparts, perms = [], [], []
+    for pi, d in levels:
+        half = m >> (d + 1)
+        sel = jnp.take(jnp.asarray(mats[d][pi]), p & (half - 1), axis=0)
+        bit = jnp.asarray((p & half) != 0)[:, None]
+        mselfs.append(jnp.where(bit, sel[:, 1, 1, :], sel[:, 0, 0, :]))
+        mparts.append(jnp.where(bit, sel[:, 1, 0, :], sel[:, 0, 1, :]))
+        perms.append(p ^ half)
+    ms = jnp.stack(mselfs)
+    mp = jnp.stack(mparts)
+    pe = jnp.asarray(np.stack(perms))
+
+    # D-chain as a lax.scan so the field-mul graph is traced ONCE per
+    # size (an unrolled python loop made the pool build's XLA graph so
+    # large that CPU compilation took minutes at n=2^11)
+    def step(D, inp):
+        mself, mpart, perm = inp
+        numer = fd.mul(spec, mpart, jnp.take(D, perm, axis=0))
+        denom = fd.mul(spec, mself, D)
+        return denom, (numer, denom)
+
+    d_fin, (numers, denoms) = jax.lax.scan(
+        step, fd.ones(spec, (m,)), (ms[:-1], mp[:-1], pe[:-1]))
+    fin_a = fd.mul(spec, ms[-1], d_fin)
+    fin_b = fd.mul(spec, mp[-1], jnp.take(d_fin, pe[-1], axis=0))
+    L = spec.num_limbs
+    return numers.reshape(-1, L), denoms.reshape(-1, L), fin_a, fin_b
+
+
 @partial(jax.jit, static_argnums=(0, 2))
-def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple):
+def _scaled_parts(spec: FieldSpec, tables, sizes: tuple):
+    """Phase 1 of the pool build: stacked scaled-extend numerators,
+    denominators and final (A, B) tables for every (size ≥ 4, moiety).
+    The denominators are inverted on the HOST between the two jitted
+    phases (native batch inversion — a CPU XLA product scan measured
+    minutes at n=2^16)."""
+    nu, de, fins = [], [], []
+    for k in sizes:
+        if k < 4:
+            continue
+        for mo in (S0, S1):
+            nu_i, de_i, fa, fb = _scaled_extend_levels(
+                spec, tables[k]["mats"], k // 2, mo)
+            nu.append(nu_i)
+            de.append(de_i)
+            fins.extend([fa, fb])
+    return jnp.concatenate(nu, axis=0), jnp.concatenate(de, axis=0), fins
+
+
+def _host_batch_inv(spec: FieldSpec, denoms) -> jnp.ndarray:
+    """Invert (N, L) denominators host-side via the native engine when
+    possible, else the jnp product-scan fallback (_batch_inv)."""
+    if spec.limb_bits == 16 and spec.num_limbs <= 16:
+        try:
+            from ecfft_tpu.native import batch_inv_limbs
+
+            return jnp.asarray(batch_inv_limbs(spec, np.asarray(denoms)))
+        except Exception:  # no toolchain: fall through to the XLA path
+            pass
+    return _batch_inv(spec, denoms)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple, scaled=None):
     """One jitted computation for the whole pool: tiny eager ops would
     each pay this environment's per-computation remote-compile cost."""
     L = spec.num_limbs
     rows = [jnp.zeros((1, L), jnp.uint32), fd.ones(spec, (1,))]
+    if scaled is not None:
+        nu_all, inv_all, fins = scaled
+        c_all = fd.mul(spec, nu_all, inv_all)  # every C table in one mul
+        cur = 0
+        fi = 0
+        for k in sizes:
+            if k < 4:
+                continue
+            m = k // 2
+            cnt = (2 * (m.bit_length() - 1) - 1) * m
+            for mo in (S0, S1):
+                rows.append(c_all[cur:cur + cnt])
+                cur += cnt
+                rows.append(fins[fi])
+                rows.append(fins[fi + 1])
+                fi += 2
     for k in sorted(tables):
         t = tables[k]
-        # COMPACT Lemma-3.2 matrices (fftree.rs:338-363), not the
-        # pre-scattered per-position tables: the schedule's own gather
-        # indices do the position→matrix-entry scattering at runtime, so
-        # the pool stays O(n) like the reference's FFTree (README.md:24)
-        for quad in t["mats"]:
-            for arr in quad:  # (dec_S0, dec_S1, rec_S0, rec_S1) per depth
-                rows.append(jnp.asarray(arr).reshape(-1, L))
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
                      "z1_inv_s0", "z0z0_rem_xnn_s"):
             rows.append(t[name])
@@ -142,14 +261,25 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
     tables[sizes[0]]["leaves2"] = tree.tables[2]["leaves"]
     off = {}
     cursor = 2
+    # scaled-extend tables: per (size ≥ 4, moiety), the per-position
+    # 1-mul coefficients sc_{k}_{mo}_{level} (levels in emission order:
+    # dec 0..logm−1 then rec logm−1..1) and the final-level absorbed
+    # (A, B) pair sfa/sfb (see _scaled_extend_levels / _emit_extend)
+    for k in sizes:
+        if k < 4:
+            continue
+        m = k // 2
+        logm = m.bit_length() - 1
+        for mo in (S0, S1):
+            for li in range(2 * logm - 1):
+                off[f"sc_{k}_{mo}_{li}"] = cursor
+                cursor += m
+            off[f"sfa_{k}_{mo}"] = cursor
+            cursor += m
+            off[f"sfb_{k}_{mo}"] = cursor
+            cursor += m
     for k in sizes:
         t = tables[k]
-        for d, quad in enumerate(t["mats"]):
-            for pi, arr in enumerate(quad):
-                # (half, 2, 2, L) flattened row-major: row of matrix
-                # entry (r, c) of matrix i is base + i*4 + r*2 + c
-                off[f"mat_{k}_{d}_{pi}"] = cursor
-                cursor += int(np.prod(arr.shape[:-1]))
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
                      "z1_inv_s0", "z0z0_rem_xnn_s"):
             off[f"{name}_{k}"] = cursor
@@ -163,7 +293,11 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
             cursor += cnt
     off["neg_leaf2"] = cursor
     cursor += 2
-    return _build_pool_arrays(spec, tables, sizes), off
+    scaled = None
+    if any(k >= 4 for k in sizes):
+        nu_all, de_all, fins = _scaled_parts(spec, tables, sizes)
+        scaled = (nu_all, _host_batch_inv(spec, de_all), fins)
+    return _build_pool_arrays(spec, tables, sizes, scaled), off
 
 
 # ------------------------------------------------------------- schedules
@@ -181,6 +315,7 @@ class _Builder:
     the constant 1: a mul step's passthrough form is x[p]·x[one_pos]."""
 
     def __init__(self, W: int, one_pos: int | None = None):
+        self._orig_w = W
         self.W = (W + 127) & ~127
         self.one_pos = one_pos
         self.steps = []
@@ -204,6 +339,28 @@ class _Builder:
         g2 = np.full(W, self.one_pos, np.int32)
         self.steps.append((OP_MUL, ar, g1, br, g2))
         return self.steps[-1][1:]
+
+    def new_aff1_step(self, self_read: bool = False):
+        """out[p] = x[g1[p]] + pool[b[p]]·x[g2[p]] — the 1-mul step.
+        With ``self_read`` the runtime reads x1 as the window slice
+        itself (OP_AFF1S) and g1 is ignored — every row, active or
+        passthrough, must read its own position (g1 ≡ identity)."""
+        W = self.W
+        ar = np.full(W, ZERO, np.int32)  # unused by OP_AFF1*
+        g1 = np.arange(W, dtype=np.int32)
+        br = np.full(W, ZERO, np.int32)  # C = 0 → passthrough
+        g2 = np.arange(W, dtype=np.int32)
+        self.steps.append(
+            (OP_AFF1S if self_read else OP_AFF1, ar, g1, br, g2))
+        return self.steps[-1][1:]
+
+    @property
+    def zero_pos(self) -> int:
+        """A state row that is zero forever: the last pad row (state
+        widths are odd pre-padding, so at least one pad row exists).
+        Lets pure-scale steps ride OP_AFF1: out = x[zero] + C·x[g2]."""
+        assert self.W > self._orig_w, "no pad row available"
+        return self.W - 1
 
     def new_cmpsel_step(self):
         """comp = ∀p x[ar[p]] == x[br[p]] (per batch lane);
@@ -236,6 +393,10 @@ class _Builder:
                 iden = (a == ONE) & (b == ZERO) & (g1 == iota)
             elif op == OP_MUL:
                 iden = (g1 == iota) & (g2 == self.one_pos)
+            elif op == OP_AFF1:
+                iden = (b == ZERO) & (g1 == iota)
+            elif op == OP_AFF1S:
+                iden = b == ZERO  # x1 is the slice itself
             else:  # OP_CMPSEL: both select arms self AND trivial compare
                 iden = (g1 == iota) & (g2 == iota) & (a == b)
             act = np.nonzero(~iden)[0]
@@ -265,44 +426,49 @@ def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
     time beyond n=2^12); the first down-step reads from ``src_region``
     (defaults to region), folding lane-to-lane copies into the butterfly.
     Blocks share coefficients (ops/core.py::extend).
+
+    SCALED EMISSION: every level but the last is the 1-mul OP_AFF1S
+    form out[p] = x[p] + C·x[p^half] (coefficients sc_{k}_{mo}_{li}
+    from _scaled_extend_levels, which absorbs the self-coefficient into
+    a per-row running diagonal); the last recombine level applies the
+    accumulated diagonal with a full 2-mul OP_AFFINE (sfa/sfb), so the
+    extend's outputs are exactly the reference's (fftree.rs:72-120) —
+    ~2× less multiply work per butterfly network on the step kernel.
     """
     bs = k // 2
     if bs == 1:
         return  # size-1 extend is the identity (fftree.rs:74-76)
     logm = _ilog2(bs)
-    pi_dec = 0 if moiety == S0 else 1
-    pi_rec = 2 if moiety == S0 else 3
+    mo = moiety
     nblocks = bld.nblocks
     J, I = np.meshgrid(np.arange(nblocks), np.arange(bs), indexing="ij")
     J, I = J.ravel(), I.ravel()
     P = np.asarray(region(J, I))
 
-    def mat_rows(d: int, pi: int):
-        """Pool rows of the COMPACT depth-d matrices for each position:
-        position i uses matrix i & (half−1); butterfly bit clear reads
-        row 0 (self = M00, partner = M01), bit set row 1 (self = M11,
-        partner = M10) — the moiety-selected Lemma-3.2 scattering
-        (fftree.rs:83-97,104-118) as runtime gather indices instead of
-        pre-scattered O(n log n) coefficient tables."""
-        half = bs >> (d + 1)
-        base = off[f"mat_{k}_{d}_{pi}"]
-        ent = base + (I & (half - 1)) * 4
-        bit = (I & half) != 0
-        return np.where(bit, ent + 3, ent), np.where(bit, ent + 2, ent + 1)
-
+    li = 0
     for d in range(logm):
         half = bs >> (d + 1)
-        ar, g1, br, g2 = bld.new_step()
-        src = src_region if (d == 0 and src_region is not None) else region
-        ar[P], br[P] = mat_rows(d, pi_dec)
-        g1[P] = src(J, I)
+        ext_src = d == 0 and src_region is not None
+        src = src_region if ext_src else region
+        ar, g1, br, g2 = bld.new_aff1_step(self_read=not ext_src)
+        br[P] = off[f"sc_{k}_{mo}_{li}"] + I
+        if ext_src:
+            g1[P] = src(J, I)
         g2[P] = src(J, I ^ half)
+        li += 1
     for d in reversed(range(logm)):
         half = bs >> (d + 1)
-        ar, g1, br, g2 = bld.new_step()
-        ar[P], br[P] = mat_rows(d, pi_rec)
-        g1[P] = P
-        g2[P] = region(J, I ^ half)
+        if d == 0:  # final level: unscale with the absorbed (A, B)
+            ar, g1, br, g2 = bld.new_step()
+            ar[P] = off[f"sfa_{k}_{mo}"] + I
+            br[P] = off[f"sfb_{k}_{mo}"] + I
+            g1[P] = P
+            g2[P] = region(J, I ^ half)
+        else:
+            ar, g1, br, g2 = bld.new_aff1_step(self_read=True)
+            br[P] = off[f"sc_{k}_{mo}_{li}"] + I
+            g2[P] = region(J, I ^ half)
+            li += 1
 
 
 def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
@@ -319,7 +485,7 @@ def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
     if mextend:
         zkey = "z0_s1" if moiety == S1 else "z1_s0"
         zoff = off[f"{zkey}_{2 * m}"]
-        ar, g1, br, g2 = bld.new_step()
+        ar, g1, br, g2 = bld.new_aff1_step(self_read=True)
         idx = np.arange(m)
         br[idx] = zoff + idx
         g2[idx] = m  # const-one slot
@@ -340,9 +506,9 @@ def enter_schedule(tree, n: int):
         region = lambda j, i: n + j * bs + i  # noqa: E731
         src = lambda j, i: j * bs + i  # noqa: E731
         _emit_extend(bld, off, k, S1, region, src_region=src)
-        # combine (fftree.rs:155-159)
+        # combine (fftree.rs:155-159): u + xnn·v is the 1-mul form
         xnn_off = off[f"xnn_s_{k}"]
-        ar, g1, br, g2 = bld.new_step()
+        ar, g1, br, g2 = bld.new_aff1_step()
         Jc, Rc = np.meshgrid(np.arange(n // k), np.arange(k), indexing="ij")
         Jc, Rc = Jc.ravel(), Rc.ravel()
         Ic = Rc // 2
@@ -387,10 +553,12 @@ def exit_schedule(tree, n: int):
         SA, SB = np.asarray(sa(J, I)), np.asarray(sb(J, I))
 
         # -- REDC 1 (moiety S0, a = xnn) --
-        # t0 = e0·a0inv  → Sa   (fftree.rs:238)
-        ar, g1, br, g2 = bld.new_step()
-        ar[SA] = a0inv + 2 * I
-        g1[SA] = lane0(J, 2 * I)
+        # t0 = e0·a0inv → Sa (fftree.rs:238): pure scale = 1-mul step
+        # reading the always-zero pad row as x1
+        ar, g1, br, g2 = bld.new_aff1_step()
+        g1[SA] = bld.zero_pos
+        br[SA] = a0inv + 2 * I
+        g2[SA] = lane0(J, 2 * I)
         # g1v = extend(t0, S1) on Sa
         _emit_extend(bld, off, k, S1, sa)
         # h1 = z0inv·e1 + negaz·g1v → Sb  (fftree.rs:253-255)
@@ -406,10 +574,11 @@ def exit_schedule(tree, n: int):
         H1 = np.asarray(h1_region(J, I))
 
         # -- fuse ·c and REDC 2 (fftree.rs:277-281) --
-        # t0' = (h0·c_even)·a0inv = c0a0·h0 → Sa
-        ar, g1, br, g2 = bld.new_step()
-        ar[SA] = c0a0 + I
-        g1[SA] = H0
+        # t0' = (h0·c_even)·a0inv = c0a0·h0 → Sa (1-mul scale)
+        ar, g1, br, g2 = bld.new_aff1_step()
+        g1[SA] = bld.zero_pos
+        br[SA] = c0a0 + I
+        g2[SA] = H0
         _emit_extend(bld, off, k, S1, sa)
         # h1' = zc1·h1 + negaz·g1v' → Sb
         ar, g1, br, g2 = bld.new_step()
@@ -458,9 +627,10 @@ def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
     I = np.arange(bs)
     Z = np.zeros(bs, dtype=np.int64)
     SA, SB = np.asarray(sa(Z, I)), np.asarray(sb(Z, I))
-    ar, g1, br, g2 = bld.new_step()
-    ar[SA] = a0inv + 2 * I
-    g1[SA] = lane0(Z, 2 * I)
+    ar, g1, br, g2 = bld.new_aff1_step()
+    g1[SA] = bld.zero_pos
+    br[SA] = a0inv + 2 * I
+    g2[SA] = lane0(Z, 2 * I)
     _emit_extend(bld, off, k, S1 if moiety == S0 else S0, sa)
     ar, g1, br, g2 = bld.new_step()
     ar[SB] = z0inv + I
@@ -470,9 +640,10 @@ def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
     _emit_extend(bld, off, k, moiety, sa, src_region=sb)
     h0_region, h1_region = (sa, sb) if bs > 1 else (sb, sb)
     if not redc_only:
-        ar, g1, br, g2 = bld.new_step()
-        ar[SA] = c0a0 + I
-        g1[SA] = np.asarray(h0_region(Z, I))
+        ar, g1, br, g2 = bld.new_aff1_step()
+        g1[SA] = bld.zero_pos
+        br[SA] = c0a0 + I
+        g2[SA] = np.asarray(h0_region(Z, I))
         _emit_extend(bld, off, k, S1, sa)
         ar, g1, br, g2 = bld.new_step()
         ar[SB] = zc1 + I
@@ -482,8 +653,8 @@ def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
         _emit_extend(bld, off, k, S0, sa, src_region=sb)
         h0_region = sa if bs > 1 else sb
         h1_region = sb
-    # interleave result back onto the value lane
-    ar, g1, br, g2 = bld.new_step()
+    # interleave result back onto the value lane (mul-free copy step)
+    ar, g1, br, g2 = bld.new_aff1_step()
     g1[2 * I] = np.asarray(h0_region(Z, I))
     g1[2 * I + 1] = np.asarray(h1_region(Z, I))
     return bld.arrays()
@@ -517,13 +688,13 @@ def degree_schedule(tree, n: int):
         bs = k // 2
         I = np.arange(bs)
         SA, SB = sa + I, sb + I
-        # acc_s = acc + k/2 (one-row step)
-        ar, g1, br, g2 = bld.new_step()
+        # acc_s = acc + k/2 (one-row 1-mul step)
+        ar, g1, br, g2 = bld.new_aff1_step()
         g1[acc_s] = acc
         br[acc_s] = off[f"half_const_{k}"]
         g2[acc_s] = one_pos
         if bs == 1:
-            ar, g1, br, g2 = bld.new_step()  # identity extend = copy
+            ar, g1, br, g2 = bld.new_aff1_step()  # identity extend = copy
             g1[SA] = 2 * I
         else:
             bld.nblocks = 1
@@ -557,8 +728,8 @@ def degree_schedule(tree, n: int):
         g1[I] = 2 * I
         g2[I] = SB
         k //= 2
-    # expose acc at row 0 for from_state (reads row n, writes row 0)
-    ar, g1, br, g2 = bld.new_step()
+    # expose acc at row 0 for from_state (mul-free copy step)
+    ar, g1, br, g2 = bld.new_aff1_step()
     g1[0] = acc
     return bld.arrays()
 
@@ -586,11 +757,11 @@ def vanish_schedule(tree, v: int):
     I = np.arange(v)
     # base planes (input points arrive at rows [0, v)): S1 plane first —
     # the S0 plane overwrites the inputs in place
-    ar, g1, br, g2 = bld.new_step()
+    ar, g1, br, g2 = bld.new_aff1_step()
     g1[v + I] = I
     br[v + I] = off["neg_leaf2"] + 1
     g2[v + I] = one_pos
-    ar, g1, br, g2 = bld.new_step()
+    ar, g1, br, g2 = bld.new_aff1_step(self_read=True)
     br[I] = off["neg_leaf2"] + 0
     g2[I] = one_pos
     base = 0  # current planes at [base, base+2v); scratch at the other
@@ -615,7 +786,7 @@ def vanish_schedule(tree, v: int):
         _emit_extend(bld, off, 2 * cur, S1,
                      lambda j, i: scratch + v + j * cur + i,
                      src_region=lambda j, i: scratch + j * cur + i)
-        ar, g1, br, g2 = bld.new_step()
+        ar, g1, br, g2 = bld.new_aff1_step(self_read=True)
         br[SB] = off[f"z0_s1_{2 * cur}"] + T
         g2[SB] = one_pos
         base = scratch
@@ -652,8 +823,8 @@ def general_mod_schedule(tree, m: int, moiety: int = S0,
     E0, E1 = 2 * I, 2 * I + 1
 
     # --- scheduled Fermat: AI = a₀^(p−2) ---
-    ar, g1, br, g2 = bld.new_step()
-    g1[AI] = A0  # acc = base (top exponent bit)
+    ar, g1, br, g2 = bld.new_aff1_step()
+    g1[AI] = A0  # acc = base (top exponent bit); mul-free copy
     ebits = bin(spec.p - 2)[2:]
     for bit in ebits[1:]:
         ar, g1, br, g2 = bld.new_mul_step()
@@ -708,8 +879,8 @@ def general_mod_schedule(tree, m: int, moiety: int = S0,
         g1[SB] = SB
         g2[SB] = 2 * m + 2 * I + 1
         redc_pass(SA, SB)
-    # interleave (h0, h1) onto V
-    ar, g1, br, g2 = bld.new_step()
+    # interleave (h0, h1) onto V (mul-free copy step)
+    ar, g1, br, g2 = bld.new_aff1_step()
     g1[2 * I] = SA
     g1[2 * I + 1] = SB
     return bld.arrays()
@@ -880,6 +1051,37 @@ def _reduce_cols(spec: FieldSpec, c):
     return x[..., :L, :]
 
 
+def _add_canon(spec: FieldSpec, a, b):
+    """Canonical (W, L, B) + (W, L, B) mod p: one conditional subtract."""
+    if spec.num_limbs == 1 and spec.p == fd.M31_P:
+        return fd._m31_add(a, b)
+    L = spec.num_limbs
+    W1 = L + 1
+    x = _normalize_cols(a + b)[..., :W1, :]
+    comp = jnp.asarray(
+        [((1 << (16 * W1)) - spec.p) >> (16 * i) & 0xFFFF
+         for i in range(W1)], dtype=jnp.uint32)[:, None]
+    y = _normalize_cols(x + comp)
+    need = y[..., W1, :] > 0
+    return jnp.where(need[..., None, :], y[..., :W1, :], x)[..., :L, :]
+
+
+def _muladd1_cols(spec: FieldSpec, C, x1, x2):
+    """Fused x1 + C·x2 in the (W, L, B) layout (OP_AFF1/OP_AFF1S)."""
+    if spec.num_limbs == 1 and spec.p == fd.M31_P:
+        return fd._m31_add(x1, fd._m31_mul(C, x2))
+    c = _conv_cols(spec, C, x2)
+    if spec.fold_terms is None:
+        # Montgomery residents: reduce the product, then one canonical add
+        return _add_canon(spec, _mont_reduce_cols(spec, c), x1)
+    # inject x1 into the product columns pre-reduction (its contribution
+    # is strictly smaller than a second product, so muladd2's bounds hold)
+    L = spec.num_limbs
+    pad = jnp.zeros((*x1.shape[:-2], c.shape[-2] - L, x1.shape[-1]),
+                    jnp.uint32)
+    return _reduce_cols(spec, c + jnp.concatenate([x1, pad], axis=-2))
+
+
 def _mulss(spec: FieldSpec, x1, x2):
     """State×state field product in the (W, L, B) layout (OP_MUL)."""
     if spec.num_limbs == 1 and spec.p == fd.M31_P:
@@ -934,30 +1136,51 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
 
     def body(state, inp):
         op_t, start, a_i, g1, b_i, g2 = inp
-        x1 = jnp.take(state, g1, axis=0)
+        A = g1.shape[0]
         x2 = jnp.take(state, g2, axis=0)
 
         def affine(_):
+            x1 = jnp.take(state, g1, axis=0)
             if pallas_ok:
                 from ecfft_tpu.ops.pallas_step import pallas_muladd2
 
-                A = jnp.take(pool, a_i, axis=0)  # (A, L)
+                Ac = jnp.take(pool, a_i, axis=0)  # (A, L)
                 Bc = jnp.take(pool, b_i, axis=0)
-                return pallas_muladd2(spec, A, Bc, x1, x2)
-            A = jnp.take(pool, a_i, axis=0)[:, :, None]  # (A, L, 1)
+                return pallas_muladd2(spec, Ac, Bc, x1, x2)
+            Ac = jnp.take(pool, a_i, axis=0)[:, :, None]  # (A, L, 1)
             Bc = jnp.take(pool, b_i, axis=0)[:, :, None]
-            return _muladd2_cols(spec, A, x1, Bc, x2)
+            return _muladd2_cols(spec, Ac, x1, Bc, x2)
 
         def mul(_):
+            x1 = jnp.take(state, g1, axis=0)
             return _mulss(spec, x1, x2)
 
         def cmpsel(_):
+            x1 = jnp.take(state, g1, axis=0)
             c1 = jnp.take(state, a_i, axis=0)
             c2 = jnp.take(state, b_i, axis=0)
             comp = jnp.all(c1 == c2, axis=(0, 1))  # (B,)
             return jnp.where(comp[None, None, :], x1, x2)
 
-        out = jax.lax.switch(op_t, [affine, mul, cmpsel], None)
+        def aff1_with(x1):
+            if pallas_ok:
+                from ecfft_tpu.ops.pallas_step import pallas_muladd1
+
+                Cc = jnp.take(pool, b_i, axis=0)
+                return pallas_muladd1(spec, Cc, x1, x2)
+            Cc = jnp.take(pool, b_i, axis=0)[:, :, None]
+            return _muladd1_cols(spec, Cc, x1, x2)
+
+        def aff1(_):
+            return aff1_with(jnp.take(state, g1, axis=0))
+
+        def aff1s(_):
+            x1 = jax.lax.dynamic_slice(
+                state, (start, 0, 0), (A,) + state.shape[1:])
+            return aff1_with(x1)
+
+        out = jax.lax.switch(op_t, [affine, mul, cmpsel, aff1, aff1s],
+                             None)
         state = jax.lax.dynamic_update_slice(state, out, (start, 0, 0))
         return state, None
 

@@ -1149,6 +1149,28 @@ u64 ecn_find_curve(const u8 *p_le, u64 k, u64 seed, u64 max_iters,
   return 0;
 }
 
+// batched modular inverse over any (≤256-bit, odd) prime: count 32-byte
+// little-endian canonical values, inverted IN PLACE via Montgomery's
+// trick (fe_batch_inv). Serves the device pool build's scaled-extend
+// tables (ecfft_tpu/ops/schedule.py::build_pool): ~3 native muls per
+// element vs a log-depth product-scan of whole-array device muls.
+void ecn_batch_inv(const u8 *p_le, const u8 *vals_le, u64 count, u8 *out) {
+  FieldCtx F;
+  ctx_init(F, p_le);
+  std::vector<Fe> v(count);
+  for (u64 i = 0; i < count; ++i) {
+    Fe c;
+    std::memcpy(c.v, vals_le + 32 * i, 32);
+    to_mont(F, v[i], c);
+  }
+  fe_batch_inv(F, v.data(), count);
+  for (u64 i = 0; i < count; ++i) {
+    Fe c;
+    from_mont(F, c, v[i]);
+    std::memcpy(out + 32 * i, c.v, 32);
+  }
+}
+
 // micro-benchmark hook: time raw montgomery muls (for bench baselines)
 double ecn_mul_throughput(const u8 *p_le, u64 iters) {
   FieldCtx F;

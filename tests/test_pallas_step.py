@@ -8,7 +8,7 @@ import pytest
 
 from ecfft_tpu.fields import device as fd
 from ecfft_tpu.fields.registry import FIELDS
-from ecfft_tpu.ops.pallas_step import pallas_muladd2
+from ecfft_tpu.ops.pallas_step import pallas_muladd1, pallas_muladd2
 
 
 def test_pallas_muladd2_matches_ints():
@@ -73,6 +73,50 @@ def test_pallas_mont_kernel_matches_ints():
     for w in range(W):
         for b in range(B):
             exp = (A_i[w] * x1_i[w][b] + B_i[w] * x2_i[w][b]) * R_inv % p
+            assert got[w][b] == exp
+
+
+def test_pallas_muladd1_matches_ints():
+    """The 1-mul OP_AFF1 kernel: x1 + C·x2 (scaled butterfly levels)."""
+    spec = FIELDS["secp256k1"]
+    p = spec.p
+    W, B = 16, 4
+    rng = random.Random(11)
+    C_i = [rng.randrange(p) for _ in range(W)]
+    x1_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    x2_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    C = fd.encode(spec, C_i)
+    x1 = jnp.transpose(fd.encode(spec, x1_i), (0, 2, 1))
+    x2 = jnp.transpose(fd.encode(spec, x2_i), (0, 2, 1))
+    out = pallas_muladd1(spec, C, x1, x2, True)
+    got = fd.decode(spec, jnp.transpose(out, (0, 2, 1)))
+    for w in range(W):
+        for b in range(B):
+            assert got[w][b] == (x1_i[w][b] + C_i[w] * x2_i[w][b]) % p
+
+
+def test_pallas_muladd1_mont_matches_ints():
+    """Montgomery variant: x1 + (C·x2)·R⁻¹ on Montgomery residents
+    composes to exact x1 + C·x2 through the schedule's conversions."""
+    from ecfft_tpu.fields.registry import spec_for_prime
+    from ecfft_tpu.ntt import STARK_P
+
+    spec = spec_for_prime(STARK_P, "stark_pallas_test1")
+    p = spec.p
+    R_inv = pow(1 << (16 * spec.num_limbs), -1, p)
+    W, B = 16, 4
+    rng = random.Random(13)
+    C_i = [rng.randrange(p) for _ in range(W)]
+    x1_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    x2_i = [[rng.randrange(p) for _ in range(B)] for _ in range(W)]
+    C = fd.encode(spec, C_i)
+    x1 = jnp.transpose(fd.encode(spec, x1_i), (0, 2, 1))
+    x2 = jnp.transpose(fd.encode(spec, x2_i), (0, 2, 1))
+    out = pallas_muladd1(spec, C, x1, x2, True)
+    got = fd.decode(spec, jnp.transpose(out, (0, 2, 1)))
+    for w in range(W):
+        for b in range(B):
+            exp = (x1_i[w][b] + C_i[w] * x2_i[w][b] * R_inv) % p
             assert got[w][b] == exp
 
 
