@@ -453,10 +453,13 @@ class FFTree:
         along the position axis (inside the jitted computation)."""
         from ecfft_tpu.ops import schedule as sch
 
+        import os
+
         lead = batch.shape[:-2]
         flat = batch.reshape((-1,) + batch.shape[-2:])
         payload = (flat, *extras) if extras else flat
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not os.environ.get("ECFFT_NO_PALLAS"))
         # bound the HBM peak: state + two gathers + the step output are
         # each (A, L, B); keep a chunk's set under ~4 GB on accelerators
         B = flat.shape[0]

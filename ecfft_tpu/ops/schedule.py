@@ -83,12 +83,15 @@ OP_AFF1S = 4  # same, but x1 = the window slice itself (g1 ≡ identity)
 
 class Schedule(NamedTuple):
     """A compiled-to-data transform: ``W`` is the state width (python
-    int, static), ``xs`` the per-step scan tensors
-    (op, start, a, g1, b, g2) with the index arrays window-compacted to
-    (steps, A) — each step computes only its active row window and
-    writes it back with one dynamic_update_slice (most ECFFT steps touch
-    ≤ n of the 2n+1-wide state, so this halves both the per-step VPU
-    work and the schedule's own memory). ``out_perm`` optionally maps
+    int, static), ``xs`` = (op, start, fa, fg1, fb, fg2, a_bank,
+    g1_bank, b_bank, g2_bank): six per-step (steps,) int32 scalars plus
+    four deduplicated row banks (rows_i, A) of window-compacted indices
+    — step t's a-indices are a_bank[fa[t]] and so on. Window
+    compaction: each step computes only a fixed-width A-row window of
+    the state and writes it back with one dynamic_update_slice (most
+    ECFFT steps touch ≤ n of the 2n+1-wide state). Bank dedupe exploits
+    schedules repeating index rows heavily (EXIT's four extends per
+    level are structurally identical). ``out_perm`` optionally maps
     output rows to state rows post-scan (one gather), letting builders
     keep moiety-planar layouts with tight windows and still deliver
     domain-ordered results."""
@@ -405,15 +408,47 @@ class _Builder:
         A = max(hi - lo for lo, hi in spans)
         A = min(W, (A + 127) & ~127)
         ops, starts, cols = [], [], ([], [], [], [])
+        zrow = np.zeros(A, np.int32)
         for (op, a, g1, b, g2), (lo, hi) in zip(self.steps, spans):
             start = min(lo, W - A)
             ops.append(op)
             starts.append(start)
-            for acc, arr in zip(cols, (a, g1, b, g2)):
-                acc.append(arr[start:start + A])
+            # zero the columns an opcode never reads so identical work
+            # dedupes into one bank row regardless of the window start
+            rows = [a[start:start + A], g1[start:start + A],
+                    b[start:start + A], g2[start:start + A]]
+            if op in (OP_AFF1, OP_AFF1S, OP_MUL):
+                rows[0] = zrow
+            if op == OP_AFF1S:
+                rows[1] = zrow
+            for acc, arr in zip(cols, rows):
+                acc.append(arr)
+        # per-column row BANKS with exact dedupe: schedules repeat index
+        # rows heavily (EXIT runs four structurally identical extends
+        # per level; butterfly partner maps repeat between the down and
+        # up sweeps), so storing unique rows + a per-step row id cuts
+        # schedule memory ~4-5x — the difference between EXIT at n=2^18
+        # fitting in one chip's HBM or not
+        banks, ids = [], []
+        for acc in cols:
+            # hash-based dedupe: np.unique(axis=0) lexsorts gigabytes
+            # at n=2^18; a bytes-key dict is one linear pass
+            seen: dict = {}
+            rows_out = []
+            idx = np.empty(len(acc), np.int32)
+            for t, row in enumerate(acc):
+                row = np.ascontiguousarray(row, dtype=np.int32)
+                j = seen.get(row.tobytes())
+                if j is None:
+                    j = len(rows_out)
+                    seen[row.tobytes()] = j
+                    rows_out.append(row)
+                idx[t] = j
+            banks.append(np.stack(rows_out))
+            ids.append(idx)
         xs = (np.asarray(ops, np.int32), np.asarray(starts, np.int32),
-              np.stack(cols[0]), np.stack(cols[1]), np.stack(cols[2]),
-              np.stack(cols[3]))
+              ids[0], ids[1], ids[2], ids[3],
+              banks[0], banks[1], banks[2], banks[3])
         return Schedule(W, xs)
 
 
@@ -1092,13 +1127,10 @@ def _mulss(spec: FieldSpec, x1, x2):
     return _reduce_cols(spec, c)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
 def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
                  m_out: int, w: int, use_pallas: bool = False,
                  batch_chunk: int | None = None, out_perm=None):
-    """Execute a schedule end-to-end in ONE jitted computation: state
-    packing, the scan, and unpacking (eager wrappers would each pay this
-    environment's per-computation compile cost).
+    """Execute a schedule: state packing, the step scans, unpacking.
 
     ``batch``: (B, m, L) input; ``sched_xs`` = (op, start, a_idx, g1,
     b_idx, g2), op/start (steps,) int32 and the rest (steps, A) int32
@@ -1110,13 +1142,42 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
     kernel (ops/pallas_step.py) replaces the XLA muladd2 pipeline for
     affine steps — gathers stay in XLA either way (they measured cheap).
 
-    ``batch_chunk``: process the batch in lane-tile-sized chunks inside
-    the one compiled computation (lax.map over the chunk axis). HBM peak
+    ``batch_chunk``: process the batch in lane-tile-sized chunks
+    (lax.map over the chunk axis inside each compiled segment). HBM peak
     scales with the per-chunk state (state + two gathers + the step
     output are each (A, L, B) — batch 256 at n=2^16 secp256k1 is ~10 GB
     live and faults a 16 GB chip; chunks of 128 halve it while the
-    transform still serves the full batch in a single call).
+    transform still serves the full batch per call).
+
+    Long schedules execute as a CHAIN of separately-jitted ≤512-step
+    segments with the state staying on device between them: a single
+    compiled program containing the EXIT schedule's ~1200 steps crashed
+    the TPU runtime at n=2^17 (even split into several lax.scans inside
+    one jit), while the same steps as separate executables run fine and
+    bit-match the native engine. Segments of equal step count share one
+    compiled trace, so this also compiles faster than one giant scan.
     """
+    x = _pack_state(spec, batch, w, one_pos)
+    scalars, banks = sched_xs[:6], sched_xs[6:]
+    nsteps = int(scalars[0].shape[0])
+    # empirically-calibrated TPU-runtime envelope: one compiled program
+    # whose scan covers more than ~2^26 step-rows (steps × window A)
+    # crashes the worker (512 steps at A=2^17 ran fine; 512 at A=2^18
+    # did not, while 324 at A=2^18 did), so the cap adapts to A
+    A = int(sched_xs[9].shape[1])
+    seg = max(64, min(512, (1 << 26) // max(A, 1)))
+    for lo in range(0, nsteps, seg):
+        hi = min(lo + seg, nsteps)
+        x = _run_segment(spec, pool,
+                         tuple(s[lo:hi] for s in scalars) + tuple(banks),
+                         x, use_pallas, batch_chunk)
+    return _unpack_state(
+        spec, x, m_out,
+        None if out_perm is None else jnp.asarray(out_perm))
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _pack_state(spec: FieldSpec, batch, w: int, one_pos: int):
     x = to_state(batch, w, one_pos)
     # fold-unfriendly primes (e.g. the 2-adic STARK prime of the
     # comparison bench): keep the pool and the whole resident state in
@@ -1124,19 +1185,47 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
     # reduction — the same representation the reference's arkworks
     # backend uses (Fp256<MontBackend>, lib.rs:37). Conversion costs one
     # mul per element at entry/exit vs O(log² n) muls inside.
+    if spec.num_limbs > 1 and spec.fold_terms is None:
+        x = _to_mont_cols(spec, x)
+    return x
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _unpack_state(spec: FieldSpec, state, m_out: int, out_perm=None):
+    if out_perm is None:
+        out = state[:m_out]
+    else:
+        out = jnp.take(state, out_perm, axis=0)
+    if spec.num_limbs > 1 and spec.fold_terms is None:
+        out = _from_mont_cols(spec, out)
+    return jnp.transpose(out, (2, 0, 1))
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _run_segment(spec: FieldSpec, pool, sched_xs, x, use_pallas: bool,
+                 batch_chunk: int | None):
+    """One ≤512-step segment of a schedule as its own compiled program
+    (see run_schedule). The pool is converted to Montgomery form here
+    for fold-unfriendly primes (cheap, cached by jit between calls)."""
     mont = spec.num_limbs > 1 and spec.fold_terms is None
     if mont:
         pool = _to_mont_cols(spec, pool[:, :, None])[..., 0]
-        x = _to_mont_cols(spec, x)
     pallas_ok = (
         use_pallas
         and spec.num_limbs > 1
         and (mont or sum(d for _, d in spec.fold_terms) < (1 << 10))
     )
 
+    scalars = sched_xs[:6]
+    a_bank, g1_bank, b_bank, g2_bank = sched_xs[6:]
+    A = g2_bank.shape[1]
+
     def body(state, inp):
-        op_t, start, a_i, g1, b_i, g2 = inp
-        A = g1.shape[0]
+        op_t, start, fa, fg1, fb, fg2 = inp
+        a_i = jnp.take(a_bank, fa, axis=0)
+        g1 = jnp.take(g1_bank, fg1, axis=0)
+        b_i = jnp.take(b_bank, fb, axis=0)
+        g2 = jnp.take(g2_bank, fg2, axis=0)
         x2 = jnp.take(state, g2, axis=0)
 
         def affine(_):
@@ -1185,7 +1274,7 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
         return state, None
 
     def run_one(xc):
-        out, _ = jax.lax.scan(body, xc, sched_xs)
+        out, _ = jax.lax.scan(body, xc, scalars)
         return out
 
     B = x.shape[-1]
@@ -1196,13 +1285,7 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
         out = jnp.moveaxis(out, 0, -2).reshape(*x.shape)
     else:
         out = run_one(x)
-    if out_perm is None:
-        out = out[:m_out]
-    else:
-        out = jnp.take(out, jnp.asarray(out_perm), axis=0)
-    if mont:
-        out = _from_mont_cols(spec, out)
-    return jnp.transpose(out, (2, 0, 1))
+    return out
 
 
 def to_state(batch_arr, W: int, one_pos: int):
