@@ -431,8 +431,34 @@ class FFTree:
                          offsets=json.dumps(self._pool_off))
         self._ensure_pool()
         for n in sizes or (self.n,):
-            self._schedule(("enter", n), lambda: sch.enter_schedule(self, n))
-            self._schedule(("exit", n), lambda: sch.exit_schedule(self, n))
+            for alg, builder in (
+                ("enter", lambda: sch.enter_schedule(self, n)),
+                ("exit", lambda: sch.exit_schedule(self, n)),
+            ):
+                key = (alg, n)
+                if key in self._scheds:
+                    continue
+                spath = (None if cache_dir is None else os.path.join(
+                    cache_dir, f".sched_{self.spec.name}_{alg}_{n}.npz"))
+                if spath is not None and os.path.exists(spath):
+                    # schedules are pure index data derived from (field,
+                    # n, algorithm); the numpy emitters cost ~15 min for
+                    # EXIT at n=2^18, so they persist like the pool
+                    with np.load(spath, allow_pickle=False) as z:
+                        xs = tuple(jnp.asarray(z[f"xs{i}"])
+                                   for i in range(10))
+                        op = (z["out_perm"] if "out_perm" in z.files
+                              else None)
+                        self._scheds[key] = sch.Schedule(
+                            int(z["W"]), xs, op)
+                    continue
+                s = self._schedule(key, builder)
+                if spath is not None:
+                    arrs = {f"xs{i}": np.asarray(a)
+                            for i, a in enumerate(s.xs)}
+                    if s.out_perm is not None:
+                        arrs["out_perm"] = np.asarray(s.out_perm)
+                    np.savez(spath, W=s.W, **arrs)
         return self
 
     def place_on(self, device):
