@@ -27,3 +27,26 @@ def test_chunked_matches_unchunked():
                              s.W, False, chunk)
         )
         assert np.array_equal(full, part), f"chunk={chunk} diverged"
+
+
+def test_multi_segment_exit_matches_oracle():
+    """EXIT at m31 n=4096 crosses the ≤512-step-per-compiled-segment
+    boundary (run_schedule executes long schedules as a chain of
+    separately-jitted segments after a TPU-runtime envelope was hit at
+    n≥2^17; see ops/schedule.py) — the segmented result must equal the
+    host oracle exactly."""
+    from ecfft_tpu.host.fftree import build_host_fftree
+
+    n = 4096
+    tree = ec.build_fftree("m31", n)
+    tree.prepare((n,))
+    assert tree._scheds[("exit", n)].xs[0].shape[0] > 512, (
+        "test no longer crosses the segment boundary; grow n")
+    ht = build_host_fftree("m31", n)
+    rng = np.random.RandomState(5)
+    coeffs = [[int(v) for v in row]
+              for row in rng.randint(0, ec.FIELDS["m31"].p, size=(2, n))]
+    evals = [ht.enter(c) for c in coeffs]
+    got = [[int(v) for v in row]
+           for row in tree.decode(tree.exit(tree.encode(evals)))]
+    assert got == coeffs
