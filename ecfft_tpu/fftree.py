@@ -44,6 +44,10 @@ from ecfft_tpu.ops.core import S0, S1
 
 __all__ = ["FFTree", "S0", "S1", "build_fftree"]
 
+# bump on ANY pool/schedule layout change — stale cache files from an
+# older layout must never load (their offsets would silently misindex)
+_POOL_FORMAT = 3
+
 
 def _ilog2(n: int) -> int:
     return n.bit_length() - 1
@@ -382,6 +386,19 @@ class FFTree:
 
     # ------------------------------------------------- schedule machinery
 
+    def _cache_digest(self) -> str:
+        """Short content digest of the tree identity for cache filenames:
+        hashes the full leaf domain (which determines every table), so a
+        subtree, a different curve, or a different coset never collides
+        with a fresh tree of the same (field, n)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(self.spec.p.to_bytes((self.spec.p.bit_length() + 7) // 8,
+                                      "little"))
+        h.update(np.asarray(self.tables[self.n]["leaves"]).tobytes())
+        return h.hexdigest()[:12]
+
     @property
     def pool_offsets(self) -> dict:
         self._ensure_pool()
@@ -408,18 +425,22 @@ class FFTree:
         of time (ideally while tables still live on CPU — building them
         eagerly on the TPU pays per-op remote-compile costs).
 
-        ``cache_dir``: persist the pool to ``<dir>/.pool_<field>_<n>.npz``
-        and reuse it on later runs — the pool is a pure function of
-        (field, n), and its scaled-extend tables cost minutes of CPU
-        field arithmetic at n=2^16 (bench.py uses this)."""
+        ``cache_dir``: persist the pool to
+        ``<dir>/.pool_<field>_<n>_<fmt>_<digest>.npz`` and reuse it on
+        later runs — the pool is a pure function of the tree's TABLES
+        (not just (field, n): a subtree yields different tables than a
+        fresh size-n tree), so the filename embeds a format version and
+        a content digest of the leaf domain; a layout change or a
+        different tree can never silently load a stale file."""
         import json
         import os
 
         from ecfft_tpu.ops import schedule as sch
 
+        tag = f"{_POOL_FORMAT}_{self._cache_digest()}"
         if cache_dir is not None and not hasattr(self, "_pool"):
             path = os.path.join(
-                cache_dir, f".pool_{self.spec.name}_{self.n}.npz")
+                cache_dir, f".pool_{self.spec.name}_{self.n}_{tag}.npz")
             if os.path.exists(path):
                 with np.load(path, allow_pickle=False) as z:
                     self._pool = jnp.asarray(z["pool"])
@@ -439,11 +460,13 @@ class FFTree:
                 if key in self._scheds:
                     continue
                 spath = (None if cache_dir is None else os.path.join(
-                    cache_dir, f".sched_{self.spec.name}_{alg}_{n}.npz"))
+                    cache_dir,
+                    f".sched_{self.spec.name}_{alg}_{n}_{tag}.npz"))
                 if spath is not None and os.path.exists(spath):
-                    # schedules are pure index data derived from (field,
-                    # n, algorithm); the numpy emitters cost ~15 min for
-                    # EXIT at n=2^18, so they persist like the pool
+                    # schedules are pure index data derived from (tree,
+                    # n, algorithm); the numpy emitters cost ~100 s for
+                    # ENTER+EXIT at n=2^18 (hash-dedupe bank build), so
+                    # they persist like the pool
                     with np.load(spath, allow_pickle=False) as z:
                         xs = tuple(jnp.asarray(z[f"xs{i}"])
                                    for i in range(10))

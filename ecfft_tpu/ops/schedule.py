@@ -1165,7 +1165,16 @@ def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
     # crashes the worker (512 steps at A=2^17 ran fine; 512 at A=2^18
     # did not, while 324 at A=2^18 did), so the cap adapts to A
     A = int(sched_xs[9].shape[1])
-    seg = max(64, min(512, (1 << 26) // max(A, 1)))
+    # no fixed floor: a 64-step floor would let steps×A exceed the
+    # envelope once A ≥ 2^21 (the same product that crashed the runtime
+    # at 512 steps × A=2^18), reinstating the crash at n ≥ 2^20
+    seg = max(1, min(512, (1 << 26) // max(A, 1)))
+    # fold-unfriendly primes keep the pool Montgomery-resident: convert
+    # ONCE per call, outside the segment bodies (jit caches compiled
+    # programs, not values — converting inside _run_segment re-executed
+    # the O(pool) CIOS on every call of every segment)
+    if spec.num_limbs > 1 and spec.fold_terms is None:
+        pool = _pool_to_mont(spec, pool)
     for lo in range(0, nsteps, seg):
         hi = min(lo + seg, nsteps)
         x = _run_segment(spec, pool,
@@ -1201,15 +1210,19 @@ def _unpack_state(spec: FieldSpec, state, m_out: int, out_perm=None):
     return jnp.transpose(out, (2, 0, 1))
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _pool_to_mont(spec: FieldSpec, pool):
+    """(P, L) canonical pool → Montgomery form (run once per call chain)."""
+    return _to_mont_cols(spec, pool[:, :, None])[..., 0]
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5))
 def _run_segment(spec: FieldSpec, pool, sched_xs, x, use_pallas: bool,
                  batch_chunk: int | None):
     """One ≤512-step segment of a schedule as its own compiled program
-    (see run_schedule). The pool is converted to Montgomery form here
-    for fold-unfriendly primes (cheap, cached by jit between calls)."""
+    (see run_schedule). For fold-unfriendly primes the pool arrives
+    already Montgomery-converted (run_schedule hoists the conversion)."""
     mont = spec.num_limbs > 1 and spec.fold_terms is None
-    if mont:
-        pool = _to_mont_cols(spec, pool[:, :, None])[..., 0]
     pallas_ok = (
         use_pallas
         and spec.num_limbs > 1

@@ -20,8 +20,9 @@ Key structures:
 (schoofs.rs:345-366).
 
 Practical scope: python-int polynomial arithmetic makes this practical
-for ≤ 64-bit fields (the m31 cases the reference exercises); the native
-C++ backend owns 256-bit Schoof.
+for ≤ 64-bit fields (the m31 cases the reference exercises — whose own
+example admits a wrong m31 answer, schoofs.rs:29, which this module gets
+right). 256-bit Schoof is out of scope for the pure-python path.
 """
 
 from __future__ import annotations
