@@ -24,6 +24,11 @@ import os
 import sys
 import time
 
+# zstandard.backend_c segfaults on JAX persistent-cache entries in
+# long-lived processes; block it so the cache uses zlib (must match
+# tests/conftest.py so every process reads/writes the same format)
+sys.modules["zstandard"] = None
+
 
 def log(*a):
     print(*a, file=sys.stderr)
@@ -106,17 +111,21 @@ def main():
     log(f"first call (compile+run): {time.time()-t0:.1f}s")
 
     # correctness gate: TPU result must match the native engine bit-for-bit
-    import random as _r
-
-    spec_p = spec.p
-    check = [int(spec.from_limbs(l)) for l in np.asarray(coeffs[0])]
+    # on several polys of the batch, in BOTH directions (VERDICT r2 #9)
     from ecfft_tpu.native import NativeFFTree as _NT
 
     nt_check = _NT(FIELD, N)
-    expected0 = nt_check.enter(check)
-    got0 = [int(v) for v in tree.decode(out[0])]
-    assert got0 == expected0, "TPU ENTER does not match the native engine"
-    log("correctness gate passed (TPU == native, poly 0)")
+    for bi in (0, BATCH // 2, BATCH - 1):
+        check = [int(spec.from_limbs(l)) for l in np.asarray(coeffs[bi])]
+        expected = nt_check.enter(check)
+        got = [int(v) for v in tree.decode(out[bi])]
+        assert got == expected, \
+            f"TPU ENTER does not match the native engine (poly {bi})"
+    back = tree.exit(out[:1])
+    assert np.array_equal(np.asarray(back[0]), np.asarray(coeffs[0])), \
+        "TPU EXIT does not round-trip ENTER (poly 0)"
+    log("correctness gate passed (TPU == native: ENTER x3 polys, "
+        "EXIT roundtrip)")
 
     # fresh inputs every rep so no caching effect can flatter the number;
     # timing ends at a host readback of a result element — under this

@@ -19,6 +19,11 @@ import random
 import sys
 import time
 
+# zstandard.backend_c segfaults on JAX persistent-cache entries in
+# long-lived processes; block it so the cache uses zlib (must match
+# tests/conftest.py so every process reads/writes the same format)
+sys.modules["zstandard"] = None
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()

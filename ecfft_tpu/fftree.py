@@ -46,7 +46,7 @@ __all__ = ["FFTree", "S0", "S1", "build_fftree"]
 
 # bump on ANY pool/schedule layout change — stale cache files from an
 # older layout must never load (their offsets would silently misindex)
-_POOL_FORMAT = 3
+_POOL_FORMAT = 5
 
 
 def _ilog2(n: int) -> int:
@@ -463,17 +463,17 @@ class FFTree:
                     cache_dir,
                     f".sched_{self.spec.name}_{alg}_{n}_{tag}.npz"))
                 if spath is not None and os.path.exists(spath):
-                    # schedules are pure index data derived from (tree,
-                    # n, algorithm); the numpy emitters cost ~100 s for
-                    # ENTER+EXIT at n=2^18 (hash-dedupe bank build), so
-                    # they persist like the pool
+                    # schedules are pure index/param data derived from
+                    # (tree, n, algorithm); they persist like the pool
+                    # (the parametric emitters make them KB-scale)
                     with np.load(spath, allow_pickle=False) as z:
                         xs = tuple(jnp.asarray(z[f"xs{i}"])
-                                   for i in range(10))
+                                   for i in range(6))
                         op = (z["out_perm"] if "out_perm" in z.files
                               else None)
                         self._scheds[key] = sch.Schedule(
-                            int(z["W"]), xs, op)
+                            int(z["W"]), int(z["A"]), int(z["bs_max"]),
+                            xs, op)
                     continue
                 s = self._schedule(key, builder)
                 if spath is not None:
@@ -481,7 +481,8 @@ class FFTree:
                             for i, a in enumerate(s.xs)}
                     if s.out_perm is not None:
                         arrs["out_perm"] = np.asarray(s.out_perm)
-                    np.savez(spath, W=s.W, **arrs)
+                    np.savez(spath, W=s.W, A=s.A, bs_max=s.bs_max,
+                             **arrs)
         return self
 
     def place_on(self, device):
@@ -520,9 +521,8 @@ class FFTree:
                 chunk = max_lanes
                 while B % chunk:
                     chunk -= 128
-        res = sch.run_schedule(self.spec, self._pool, sched.xs, payload,
-                               one_pos, m_out, sched.W, use_pallas, chunk,
-                               sched.out_perm)
+        res = sch.run_schedule(self.spec, self._pool, sched, payload,
+                               one_pos, m_out, use_pallas, chunk)
         return res.reshape(lead + res.shape[-2:])
 
     # ---------------------------------------------------------- algorithms
@@ -649,8 +649,23 @@ class FFTree:
             return self._run_sched(s, evals, m, 2 * m)
         return self._redc(evals, a, S0)
 
-    def redc_z1(self, evals, a):
-        """⟨P·Z₁⁻¹ mod A ≀ S⟩ (fftree.rs:272-275)."""
+    def redc_z1(self, evals, a=None):
+        """⟨P·Z₁⁻¹ mod a ≀ S⟩ (fftree.rs:272-275).
+
+        With ``a=None`` (the canonical modulus a = X^(m/2)) this runs
+        single-scan on the schedule machine, mirroring :meth:`redc_z0`;
+        an explicit ``a`` table takes the general path."""
+        if a is None:
+            m = evals.shape[-2]
+            self._size_check(m)
+            from ecfft_tpu.ops import schedule as sch
+
+            s = self._schedule(
+                ("redc1", m),
+                lambda: sch.mod_schedule(self, m, redc_only=True,
+                                         moiety=S1),
+            )
+            return self._run_sched(s, evals, m, 2 * m)
         return self._redc(evals, a, S1)
 
     def _redc(self, evals, a, moiety):

@@ -111,8 +111,8 @@ class NTTPlan:
         lead = batch.shape[:-2]
         flat = batch.reshape((-1,) + batch.shape[-2:])
         use_pallas = jax.default_backend() == "tpu"
-        out = sch.run_schedule(self.spec, self.pool, sched.xs, flat,
-                               self.n - 1, self.n, sched.W, use_pallas)
+        out = sch.run_schedule(self.spec, self.pool, sched, flat,
+                               self.n - 1, self.n, use_pallas)
         return out.reshape(lead + out.shape[-2:])
 
     def ntt(self, coeffs):

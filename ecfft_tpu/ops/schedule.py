@@ -7,8 +7,8 @@ is a composition of one primitive shape:
 
     out[p] = A[p] · x[g1[p]]  +  B[p] · x[g2[p]]
 
-- EXTEND's butterflies: A/B the pre-scattered Lemma-3.2 coefficients,
-  g1 = p, g2 = p XOR half (ops/core.py::extend derivation);
+- EXTEND's butterflies: A/B the Lemma-3.2 coefficients, g1 = p,
+  g2 = p XOR half (ops/core.py::extend derivation);
 - ENTER's combine P = U + X^(k/2)·V: A = 1, B = xnn, block-affine g's
   (fftree.rs:155-159);
 - REDC/MOD/EXIT's elementwise stages: (e − g·a)·z⁻¹ etc. are affine in
@@ -17,35 +17,70 @@ is a composition of one primitive shape:
 - interleave/deinterleave/subsample: pure index permutations, absorbed
   into g1/g2 for free.
 
-So a whole transform compiles to ONE ``lax.scan`` over per-step tensors
-(op, a_idx, b_idx, g1, g2) — the "schedule" — with coefficients fetched
-from a flat "pool" of table rows. The FFTree stops being code and becomes
-a program: one tiny compiled interpreter runs ALL EIGHT algorithms
-(ENTER, EXIT, EXTEND, MEXTEND, DEGREE, REDC, MOD, VANISH — matching the
-reference's uniform treatment, fftree.rs:123-316) for every size, and
-adding an algorithm adds data, not a compile.
+So a whole transform compiles to ONE ``lax.scan`` over per-step scalars
+— the "schedule" — with coefficients fetched from a flat "pool" of table
+rows. The FFTree stops being code and becomes a program: one tiny
+compiled interpreter runs ALL EIGHT algorithms (ENTER, EXIT, EXTEND,
+MEXTEND, DEGREE, REDC, MOD, VANISH — matching the reference's uniform
+treatment, fftree.rs:123-316) for every size, and adding an algorithm
+adds data, not a compile.
 
-Five step opcodes cover everything:
+PARAMETRIC SCHEDULES (the O(n) redesign). Round 2 stored every step's
+index rows as materialized (steps, A) arrays and every butterfly level's
+scaled coefficients as pool rows — both O(n·log n), which dominated HBM
+(319 MB of index banks + 314 MB of scaled tables at n=2^16 secp). Round
+3 exploits that ECFFT steps are REGULAR: each index row is synthesized
+inside the scan from a 16-scalar closed form (see ``CP_*``), and each
+butterfly level's coefficients are computed on the fly from the O(n)
+compact Lemma-3.2 matrix planes by a running-diagonal engine carried
+through the scan (see ``DP_*``). Operational precomputation is O(n) like
+the reference's FFTree (README.md:24); a tiny row bank remains only for
+index rows with no closed form (e.g. the NTT's bit-reversal stage).
+
+Universal per-column index formula, parameters cp[0..15]:
+
+    t   = p − cp[OFF]                 (p = absolute state position)
+    u   = t >> cp[S2]  (or t << −S2 when S2 < 0)
+    act = (0 ≤ t < SPAN) ∧ (ALO ≤ (t & KM) < AHI)
+    sel = ((t >> SB) & 1) ? C1 : C0
+    v   = sel + (t & M1) + (u & M2) + (((u + DD) ^ XX) & M3)
+    idx = act ? v : (DK == 0 ? p : DC)
+
+This covers every index pattern the emitters produce: butterfly partner
+maps (R0 + (t ^ half)), per-position coefficient indices (base + (t &
+mask)), block-strided source reads (base + i + j·stride via the two mask
+terms), parity-selected interleaves (SB = 0), and stride-2 subsamples
+(S2 = ±1). The builder VERIFIES each formula against the actually
+emitted numpy row at build time and raises on mismatch, so the closed
+forms can never silently disagree with the reference algorithm.
+
+Scaled butterflies (the TPU twiddle-absorption analogue): all but the
+last level of every EXTEND run as the 1-mul form out[p] = x[p] +
+C·x[p^half] and the last recombine level applies the accumulated per-row
+diagonal as a 2-mul step — outputs bit-identical to the reference at
+~55% of the multiply work. The per-level C table is now COMPUTED in-scan:
+
+    C_level[r]  = (Mpart[r]·Mself⁻¹[r]) · D[r ^ half] · invD[r]
+    D    ← Mself·D        invD ← Mself⁻¹·invD      (per level)
+    final level:  A[r] = Mself[r]·D[r],  B[r] = Mpart[r]·D[r ^ half]
+
+with Mself/Mpart/Mself⁻¹ gathered from compact per-depth matrix planes
+(6·half pool rows per (size, depth, matrix-kind) — O(n) total) and
+(D, invD) riding the scan carry. Fields where some Mself entry is zero
+(the 1-mul rewrite's precondition) are detected at pool build and fall
+back to exact 2-mul butterflies gathered straight from the planes.
+
+Opcode set:
 - OP_AFFINE: out[p] = pool[a[p]]·x[g1[p]] + pool[b[p]]·x[g2[p]]
 - OP_AFF1:   out[p] = x[g1[p]] + pool[b[p]]·x[g2[p]] — the 1-mul
-  workhorse: scaled butterfly levels (see _emit_extend), ENTER's
-  combine, pure scales (x1 = the always-zero pad row) and mul-free
-  copies (C = 0)
-- OP_AFF1S:  OP_AFF1 with x1 read as the window slice itself (g1 ≡
-  identity) — skips one whole-state gather per step
-- OP_MUL:    out[p] = x[g1[p]]·x[g2[p]]  — state×state products
-  (VANISH's pairwise merges, DEGREE's t1 term, general-modulus REDC's
-  e·a⁻¹ / g·a products, and the scheduled Fermat inversion chain)
+  workhorse (pure scales read x1 = an always-zero pad row; copies C = 0)
+- OP_AFF1S:  OP_AFF1 with x1 read as the window slice itself
+- OP_MUL:    out[p] = x[g1[p]]·x[g2[p]] — state×state products
 - OP_CMPSEL: comp_b = ∀p: x[a[p]] == x[b[p]] (one bool per batch lane);
-  out[p] = comp ? x[g1[p]] : x[g2[p]] — DEGREE's data-dependent branch
-  (fftree.rs:180-191) as a lane-wise select.
-
-Butterfly networks are emitted SCALED (the TPU twiddle-absorption
-analogue): all but the last level of every EXTEND run as OP_AFF1S with
-one absorbed coefficient per row, and the last recombine level applies
-the accumulated per-row diagonal as a normal 2-mul OP_AFFINE — outputs
-are bit-identical to the reference's algorithm at ~55% of the multiply
-work (u32 multiplies are the VPU bottleneck; adds are ~4× cheaper).
+  out[p] = comp ? x[g1[p]] : x[g2[p]] — DEGREE's branch as a select
+- OP_AFF1S_C / OP_AFF1_C / OP_AFFINE_C: as their pool counterparts but
+  with coefficients read from the in-scan C scratch (row 0 of the
+  scratch is the passthrough constant: one for A, zero for B/C).
 
 State layout: (W, B, L) — position-major so each gather moves a
 contiguous (B, L) row (batch rides the TPU lane dimension), limb-minor so
@@ -77,28 +112,76 @@ ONE = 1   # pool row of one
 OP_AFFINE = 0
 OP_MUL = 1
 OP_CMPSEL = 2
-OP_AFF1 = 3   # out[p] = x[g1[p]] + pool[b[p]]·x[g2[p]] — 1-mul step
-OP_AFF1S = 4  # same, but x1 = the window slice itself (g1 ≡ identity)
+OP_AFF1 = 3    # out[p] = x[g1[p]] + pool[b[p]]·x[g2[p]] — 1-mul step
+OP_AFF1S = 4   # same, but x1 = the window slice itself (g1 ≡ identity)
+OP_AFF1S_C = 5  # OP_AFF1S with C from the in-scan coefficient scratch
+OP_AFF1_C = 6   # OP_AFF1 with C from the scratch
+OP_AFFINE_C = 7  # OP_AFFINE with (A, B) from the scratch
+
+# universal column-formula parameter slots (16 int32 per column)
+(CP_OFF, CP_SPAN, CP_KM, CP_ALO, CP_AHI, CP_SB, CP_C0, CP_C1, CP_M1,
+ CP_S2, CP_M2, CP_DD, CP_XX, CP_M3, CP_DK, CP_DC) = range(16)
+NCP = 16
+
+# running-diagonal (D-engine) step parameter slots
+(DP_DOP, DP_SHALF, DP_HM, DP_HALF, DP_MS0, DP_MS1, DP_MP0, DP_MP1,
+ DP_MSI0, DP_MSI1) = range(10)
+NDP = 10
+DOP_NONE = 0
+DOP_LEVEL = 1   # C = ratio·D[perm]·invD;  D ← Ms·D,  invD ← Msi·invD
+DOP_LEVEL0 = 2  # first level of an extend: C = ratio; D ← Ms, invD ← Msi
+DOP_FINAL = 3   # A = Ms·D, B = Mp·D[perm] (the unscaling 2-mul level)
+
+COLS = ("a", "g1", "b", "g2")
 
 
 class Schedule(NamedTuple):
-    """A compiled-to-data transform: ``W`` is the state width (python
-    int, static), ``xs`` = (op, start, fa, fg1, fb, fg2, a_bank,
-    g1_bank, b_bank, g2_bank): six per-step (steps,) int32 scalars plus
-    four deduplicated row banks (rows_i, A) of window-compacted indices
-    — step t's a-indices are a_bank[fa[t]] and so on. Window
-    compaction: each step computes only a fixed-width A-row window of
-    the state and writes it back with one dynamic_update_slice (most
-    ECFFT steps touch ≤ n of the 2n+1-wide state). Bank dedupe exploits
-    schedules repeating index rows heavily (EXIT's four extends per
-    level are structurally identical). ``out_perm`` optionally maps
-    output rows to state rows post-scan (one gather), letting builders
-    keep moiety-planar layouts with tight windows and still deliver
-    domain-ordered results."""
+    """A compiled-to-data transform.
+
+    ``W``: full state width (static python int). ``A``: per-step window
+    width — each step computes only rows [start, start+A) and writes
+    them back with one dynamic_update_slice. ``bs_max``: D-engine
+    scratch rows (0 = no in-scan coefficients, e.g. the NTT). ``xs`` =
+    (op, start, colp, dp, rid, bank): per-step opcode and window start
+    (steps,), per-column formula parameters (steps, 4, 16), D-engine
+    parameters (steps, 10), residual bank row ids (steps, 4; −1 = use
+    the formula), and the shared residual row bank (rows, A).
+    ``out_perm`` optionally maps output rows to state rows post-scan."""
 
     W: int
+    A: int
+    bs_max: int
     xs: tuple
     out_perm: np.ndarray | None = None
+
+
+def _synth_np(cp, W: int) -> np.ndarray:
+    """Numpy mirror of the in-scan column-formula synthesis, over the
+    FULL state width (used to verify hints against emitted rows)."""
+    p = np.arange(W, dtype=np.int64)
+    t = p - int(cp[CP_OFF])
+    s2 = int(cp[CP_S2])
+    u = (t >> s2) if s2 >= 0 else (t << -s2)
+    inb = t & int(cp[CP_KM])
+    act = ((t >= 0) & (t < int(cp[CP_SPAN]))
+           & (inb >= int(cp[CP_ALO])) & (inb < int(cp[CP_AHI])))
+    sel = np.where((t >> int(cp[CP_SB])) & 1 == 1,
+                   int(cp[CP_C1]), int(cp[CP_C0]))
+    v = (sel + (t & int(cp[CP_M1])) + (u & int(cp[CP_M2]))
+         + (((u + int(cp[CP_DD])) ^ int(cp[CP_XX])) & int(cp[CP_M3])))
+    dflt = p if int(cp[CP_DK]) == 0 else np.full(W, int(cp[CP_DC]),
+                                                 np.int64)
+    return np.where(act, v, dflt).astype(np.int32)
+
+
+def _P(off=0, span=0, km=-1, alo=0, ahi=None, sb=31, c0=0, c1=0, m1=0,
+       s2=0, m2=0, dd=0, xx=0, m3=0, dk=0, dc=0) -> np.ndarray:
+    """Build a 16-slot formula parameter row (see module docstring).
+    ``ahi`` defaults to ``span`` (plain contiguous activity range)."""
+    if ahi is None:
+        ahi = span
+    return np.asarray([off, span, km, alo, ahi, sb, c0, c1, m1, s2, m2,
+                       dd, xx, m3, dk, dc], dtype=np.int32)
 
 
 # ----------------------------------------------------------------- pool
@@ -119,73 +202,6 @@ def _batch_inv(spec: FieldSpec, a):
     return mulf(mulf(pre_excl, suf_excl), inv_tot)
 
 
-def _scaled_extend_levels(spec: FieldSpec, mats, m: int, mo: int):
-    """Per-level absorbed butterfly coefficients for a size-2m extend.
-
-    The Lemma-3.2 network (fftree.rs:72-120) applies, per row p and
-    level, out[p] = Mself·x[p] + Mpart·x[p^half] — two field muls per
-    row. Here each non-final level is rewritten as the 1-mul form
-    out[p] = x[p] + C·x[p^half] by tracking a per-row diagonal scale
-    D[p] (out' = out/D, D ← Mself·D); the LAST level applies
-    A = Mself·D[p], B = Mpart·D[p^half] (2-mul), so extend outputs are
-    exactly unscaled. Returns (numerators, denominators, finalA, finalB):
-    C tables = numer·inv(denom), with the inversions deferred so the
-    whole pool build shares one batched inversion (_batch_inv)."""
-    logm = m.bit_length() - 1
-    pi_dec = 0 if mo == S0 else 1
-    pi_rec = 2 if mo == S0 else 3
-    levels = [(pi_dec, d) for d in range(logm)]
-    levels += [(pi_rec, d) for d in reversed(range(logm))]
-    p = np.arange(m)
-    mselfs, mparts, perms = [], [], []
-    for pi, d in levels:
-        half = m >> (d + 1)
-        sel = jnp.take(jnp.asarray(mats[d][pi]), p & (half - 1), axis=0)
-        bit = jnp.asarray((p & half) != 0)[:, None]
-        mselfs.append(jnp.where(bit, sel[:, 1, 1, :], sel[:, 0, 0, :]))
-        mparts.append(jnp.where(bit, sel[:, 1, 0, :], sel[:, 0, 1, :]))
-        perms.append(p ^ half)
-    ms = jnp.stack(mselfs)
-    mp = jnp.stack(mparts)
-    pe = jnp.asarray(np.stack(perms))
-
-    # D-chain as a lax.scan so the field-mul graph is traced ONCE per
-    # size (an unrolled python loop made the pool build's XLA graph so
-    # large that CPU compilation took minutes at n=2^11)
-    def step(D, inp):
-        mself, mpart, perm = inp
-        numer = fd.mul(spec, mpart, jnp.take(D, perm, axis=0))
-        denom = fd.mul(spec, mself, D)
-        return denom, (numer, denom)
-
-    d_fin, (numers, denoms) = jax.lax.scan(
-        step, fd.ones(spec, (m,)), (ms[:-1], mp[:-1], pe[:-1]))
-    fin_a = fd.mul(spec, ms[-1], d_fin)
-    fin_b = fd.mul(spec, mp[-1], jnp.take(d_fin, pe[-1], axis=0))
-    L = spec.num_limbs
-    return numers.reshape(-1, L), denoms.reshape(-1, L), fin_a, fin_b
-
-
-@partial(jax.jit, static_argnums=(0, 2))
-def _scaled_parts(spec: FieldSpec, tables, sizes: tuple):
-    """Phase 1 of the pool build: stacked scaled-extend numerators,
-    denominators and final (A, B) tables for every (size ≥ 4, moiety).
-    The denominators are inverted on the HOST between the two jitted
-    phases (native batch inversion — a CPU XLA product scan measured
-    minutes at n=2^16)."""
-    nu, de, fins = [], [], []
-    for k in sizes:
-        if k < 4:
-            continue
-        for mo in (S0, S1):
-            nu_i, de_i, fa, fb = _scaled_extend_levels(
-                spec, tables[k]["mats"], k // 2, mo)
-            nu.append(nu_i)
-            de.append(de_i)
-            fins.extend([fa, fb])
-    return jnp.concatenate(nu, axis=0), jnp.concatenate(de, axis=0), fins
-
-
 def _host_batch_inv(spec: FieldSpec, denoms) -> jnp.ndarray:
     """Invert (N, L) denominators host-side via the native engine when
     possible, else the jnp product-scan fallback (_batch_inv)."""
@@ -199,28 +215,41 @@ def _host_batch_inv(spec: FieldSpec, denoms) -> jnp.ndarray:
     return _batch_inv(spec, denoms)
 
 
+def _plane_meta(sizes: tuple) -> list:
+    """(k, d, pi, half) for every compact matrix plane block, in pool
+    order. Per (size k, depth d) the four matrix kinds pi = dec_S0,
+    dec_S1, rec_S0, rec_S1 each contribute a 6·half-row block
+    [ms0 ‖ ms1 ‖ mp0 ‖ mp1 ‖ msi0 ‖ msi1]: the (0,0)/(1,1) diagonal
+    entries, the (0,1)/(1,0) off-diagonal entries, and the elementwise
+    inverses of the diagonals (for the in-scan invD chain)."""
+    meta = []
+    for k in sizes:
+        if k < 4:
+            continue
+        for d in range(_ilog2(k) - 1):
+            half = k >> (d + 2)
+            for pi in range(4):
+                meta.append((k, d, pi, half))
+    return meta
+
+
 @partial(jax.jit, static_argnums=(0, 2))
-def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple, scaled=None):
+def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple, msi_all):
     """One jitted computation for the whole pool: tiny eager ops would
-    each pay this environment's per-computation remote-compile cost."""
+    each pay this environment's per-computation remote-compile cost.
+    ``msi_all``: host-inverted diagonal planes, (Σ 2·half, L), in
+    _plane_meta order (zeros for unscaled-fallback fields)."""
     L = spec.num_limbs
     rows = [jnp.zeros((1, L), jnp.uint32), fd.ones(spec, (1,))]
-    if scaled is not None:
-        nu_all, inv_all, fins = scaled
-        c_all = fd.mul(spec, nu_all, inv_all)  # every C table in one mul
-        cur = 0
-        fi = 0
-        for k in sizes:
-            if k < 4:
-                continue
-            m = k // 2
-            cnt = (2 * (m.bit_length() - 1) - 1) * m
-            for mo in (S0, S1):
-                rows.append(c_all[cur:cur + cnt])
-                cur += cnt
-                rows.append(fins[fi])
-                rows.append(fins[fi + 1])
-                fi += 2
+    cur = 0
+    for k, d, pi, half in _plane_meta(sizes):
+        q = tables[k]["mats"][d][pi]  # (half, 2, 2, L)
+        rows.append(q[:, 0, 0, :])
+        rows.append(q[:, 1, 1, :])
+        rows.append(q[:, 0, 1, :])
+        rows.append(q[:, 1, 0, :])
+        rows.append(msi_all[cur:cur + 2 * half])
+        cur += 2 * half
     for k in sorted(tables):
         t = tables[k]
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
@@ -233,6 +262,8 @@ def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple, scaled=None):
         z0inv = t["z0_inv_s1"]
         z00 = t["z0z0_rem_xnn_s"]
         rows.append(fd.neg(spec, fd.mul(spec, xnn[1::2], z0inv)))
+        rows.append(fd.neg(spec, fd.mul(spec, xnn[1::2],
+                                        t["z1_inv_s0"])))
         rows.append(fd.mul(spec, z00[0::2], xnninv[0::2]))
         rows.append(fd.mul(spec, z0inv, z00[1::2]))
         rows.append(fd.neg(spec, xnninv))
@@ -248,10 +279,14 @@ def _build_pool_arrays(spec: FieldSpec, tables, sizes: tuple, scaled=None):
 
 def build_pool(tree) -> tuple[jnp.ndarray, dict]:
     """Concatenate every table row a schedule can reference into one
-    (P, L) array; returns (pool, offsets). Includes fused/negated
-    coefficient vectors so REDC/MOD/EXIT stages stay single-step affine.
-    Offsets are computed host-side from shapes; the array build is a
-    single jitted computation.
+    (P, L) array; returns (pool, offsets). O(n) total: compact matrix
+    planes (the in-scan coefficient engine's inputs) + the z/fused
+    tables. Offsets are computed host-side from shapes; the array build
+    is a single jitted computation.
+
+    Sets ``offsets["unscaled"] = True`` when any Lemma-3.2 diagonal
+    entry is zero — the 1-mul scaled rewrite divides by those entries,
+    so such (pathological) fields run exact 2-mul butterflies instead.
     """
     spec = tree.spec
     tables = {
@@ -262,25 +297,12 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
     }
     sizes = tuple(sorted(tables))
     tables[sizes[0]]["leaves2"] = tree.tables[2]["leaves"]
+    meta = _plane_meta(sizes)
     off = {}
     cursor = 2
-    # scaled-extend tables: per (size ≥ 4, moiety), the per-position
-    # 1-mul coefficients sc_{k}_{mo}_{level} (levels in emission order:
-    # dec 0..logm−1 then rec logm−1..1) and the final-level absorbed
-    # (A, B) pair sfa/sfb (see _scaled_extend_levels / _emit_extend)
-    for k in sizes:
-        if k < 4:
-            continue
-        m = k // 2
-        logm = m.bit_length() - 1
-        for mo in (S0, S1):
-            for li in range(2 * logm - 1):
-                off[f"sc_{k}_{mo}_{li}"] = cursor
-                cursor += m
-            off[f"sfa_{k}_{mo}"] = cursor
-            cursor += m
-            off[f"sfb_{k}_{mo}"] = cursor
-            cursor += m
+    for k, d, pi, half in meta:
+        off[f"bm_{k}_{d}_{pi}"] = cursor
+        cursor += 6 * half
     for k in sizes:
         t = tables[k]
         for name in ("xnn_s", "xnn_s_inv", "z0_s1", "z1_s0", "z0_inv_s1",
@@ -288,7 +310,8 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
             off[f"{name}_{k}"] = cursor
             cursor += t[name].shape[0]
         half = k // 2
-        for name, cnt in (("neg_a1_z0inv", half), ("c0_a0inv", half),
+        for name, cnt in (("neg_a1_z0inv", half), ("neg_a1_z1inv", half),
+                          ("c0_a0inv", half),
                           ("zc1", half), ("neg_xnninv", k),
                           ("neg_z0_inv_s1", half), ("neg_z1_inv_s0", half),
                           ("half_const", 1)):
@@ -296,66 +319,113 @@ def build_pool(tree) -> tuple[jnp.ndarray, dict]:
             cursor += cnt
     off["neg_leaf2"] = cursor
     cursor += 2
-    scaled = None
-    if any(k >= 4 for k in sizes):
-        nu_all, de_all, fins = _scaled_parts(spec, tables, sizes)
-        scaled = (nu_all, _host_batch_inv(spec, de_all), fins)
-    return _build_pool_arrays(spec, tables, sizes, scaled), off
+    # diagonal planes: host check for zeros (the scaled form's
+    # precondition), then ONE batched inversion for every msi row
+    diags = []
+    for k, d, pi, half in meta:
+        q = np.asarray(tables[k]["mats"][d][pi])
+        diags.append(q[:, 0, 0, :])
+        diags.append(q[:, 1, 1, :])
+    if diags:
+        diags = np.concatenate(diags, axis=0)
+        if bool(np.all(diags == 0, axis=-1).any()):
+            off["unscaled"] = True
+            msi_all = jnp.zeros(diags.shape, jnp.uint32)
+        else:
+            msi_all = _host_batch_inv(spec, jnp.asarray(diags))
+    else:
+        msi_all = jnp.zeros((0, spec.num_limbs), jnp.uint32)
+    return _build_pool_arrays(spec, tables, sizes, msi_all), off
+
+
 
 
 # ------------------------------------------------------------- schedules
+
+
+class _StepRef:
+    """One schedule step under construction: four full-width numpy index
+    rows (the emitters' ground truth) plus an optional formula hint per
+    column and the D-engine parameters. ``hints[c]`` is a 16-slot param
+    row (see _P); at finalize the builder verifies the formula
+    reproduces the emitted row EXACTLY and then discards the row."""
+
+    __slots__ = ("op", "rows", "hints", "dp", "_dflts")
+
+    def __init__(self, op: int, rows, dflts):
+        self.op = op
+        self.rows = rows  # [a, g1, b, g2] full-width int32
+        # default hint: all-inactive formula with the opcode's default
+        self.hints = [None, None, None, None]
+        self.dp = np.zeros(NDP, dtype=np.int32)
+        self._dflts = dflts
 
 
 class _Builder:
     """Accumulates schedule steps; default row is a passthrough.
 
     Width is rounded up to a multiple of 128 so the Pallas step kernel
-    can use a large position tile (a multiple-of-8 width forced an 8-row
-    tile => 16k grid programs at n=2^16, and per-program overhead
-    dominated the kernel); the pad rows stay passthrough forever.
+    can use a large position tile; the pad rows stay passthrough forever.
 
     ``one_pos`` (required for OP_MUL steps) is the state position holding
-    the constant 1: a mul step's passthrough form is x[p]·x[one_pos]."""
+    the constant 1: a mul step's passthrough form is x[p]·x[one_pos].
+
+    Each ``new_*_step`` call finalizes the previous step: hinted columns
+    are verified against their emitted rows and compressed to 16 scalars;
+    unhinted non-default columns go to the residual row bank. Memory
+    during build is O(W) regardless of step count."""
 
     def __init__(self, W: int, one_pos: int | None = None):
         self._orig_w = W
         self.W = (W + 127) & ~127
         self.one_pos = one_pos
-        self.steps = []
+        self.bs_max = 0
+        self._cur: _StepRef | None = None
+        self._fin: list = []       # (op, lo, hi, colinfo[4], dp)
+        self._bank_rows: list = []  # full-width rows, sliced at arrays()
+        self._iota = np.arange(self.W, dtype=np.int32)
 
-    def new_step(self):
+    # -- step constructors (return the 4 row views for compatibility) --
+
+    def _begin(self, op: int, dflts) -> tuple:
+        self._finalize()
         W = self.W
-        ar = np.full(W, ONE, np.int32)
-        g1 = np.arange(W, dtype=np.int32)
-        br = np.full(W, ZERO, np.int32)
-        g2 = np.arange(W, dtype=np.int32)
-        self.steps.append((OP_AFFINE, ar, g1, br, g2))
-        return self.steps[-1][1:]
+        rows = []
+        for dk, dc in dflts:
+            rows.append(self._iota.copy() if dk == 0
+                        else np.full(W, dc, np.int32))
+        self._cur = _StepRef(op, rows, dflts)
+        return tuple(rows)
+
+    def new_step(self, csrc: bool = False):
+        """2-mul affine step. With ``csrc`` the coefficients come from
+        the in-scan scratch (row 0 = passthrough one/zero constants)."""
+        if csrc:
+            return self._begin(OP_AFFINE_C,
+                               ((1, 0), (0, 0), (1, 0), (0, 0)))
+        return self._begin(OP_AFFINE, ((1, ONE), (0, 0), (1, ZERO), (0, 0)))
 
     def new_mul_step(self):
         """out[p] = x[g1[p]]·x[g2[p]]; defaults to x[p]·1."""
         assert self.one_pos is not None, "mul steps need one_pos"
-        W = self.W
-        ar = np.full(W, ZERO, np.int32)  # unused by OP_MUL
-        g1 = np.arange(W, dtype=np.int32)
-        br = np.full(W, ZERO, np.int32)
-        g2 = np.full(W, self.one_pos, np.int32)
-        self.steps.append((OP_MUL, ar, g1, br, g2))
-        return self.steps[-1][1:]
+        return self._begin(OP_MUL,
+                           ((1, 0), (0, 0), (1, 0), (1, self.one_pos)))
 
-    def new_aff1_step(self, self_read: bool = False):
-        """out[p] = x[g1[p]] + pool[b[p]]·x[g2[p]] — the 1-mul step.
-        With ``self_read`` the runtime reads x1 as the window slice
-        itself (OP_AFF1S) and g1 is ignored — every row, active or
-        passthrough, must read its own position (g1 ≡ identity)."""
-        W = self.W
-        ar = np.full(W, ZERO, np.int32)  # unused by OP_AFF1*
-        g1 = np.arange(W, dtype=np.int32)
-        br = np.full(W, ZERO, np.int32)  # C = 0 → passthrough
-        g2 = np.arange(W, dtype=np.int32)
-        self.steps.append(
-            (OP_AFF1S if self_read else OP_AFF1, ar, g1, br, g2))
-        return self.steps[-1][1:]
+    def new_aff1_step(self, self_read: bool = False, csrc: bool = False):
+        """out[p] = x[g1[p]] + C·x[g2[p]] — the 1-mul step. With
+        ``self_read`` the runtime reads x1 as the window slice itself
+        and g1 is ignored. With ``csrc``, C comes from the in-scan
+        scratch instead of the pool."""
+        if csrc:
+            op = OP_AFF1S_C if self_read else OP_AFF1_C
+            return self._begin(op, ((1, 0), (0, 0), (1, 0), (0, 0)))
+        op = OP_AFF1S if self_read else OP_AFF1
+        return self._begin(op, ((1, 0), (0, 0), (1, ZERO), (0, 0)))
+
+    def new_cmpsel_step(self):
+        """comp = ∀p x[a[p]] == x[b[p]] (per batch lane);
+        out[p] = comp ? x[g1[p]] : x[g2[p]]."""
+        return self._begin(OP_CMPSEL, ((0, 0), (0, 0), (0, 0), (0, 0)))
 
     @property
     def zero_pos(self) -> int:
@@ -365,145 +435,218 @@ class _Builder:
         assert self.W > self._orig_w, "no pad row available"
         return self.W - 1
 
-    def new_cmpsel_step(self):
-        """comp = ∀p x[ar[p]] == x[br[p]] (per batch lane);
-        out[p] = comp ? x[g1[p]] : x[g2[p]]. Defaults: trivially-true
-        compare, passthrough select."""
+    # -- hints ---------------------------------------------------------
+
+    def hint(self, col: str, **kw):
+        """Attach the closed-form index formula for ``col`` of the
+        current step (see _P for parameters). The step's default
+        (dk, dc) is filled in automatically unless overridden."""
+        ci = COLS.index(col)
+        dk, dc = self._cur._dflts[ci]
+        kw.setdefault("dk", dk)
+        kw.setdefault("dc", dc)
+        self._cur.hints[ci] = _P(**kw)
+
+    def dop(self, dop: int, shalf: int, hm: int, half: int, ms0: int,
+            ms1: int, mp0: int, mp1: int, msi0: int, msi1: int):
+        """Set the current step's D-engine micro-op (see DP_* slots)."""
+        self._cur.dp[:] = (dop, shalf, hm, half, ms0, ms1, mp0, mp1,
+                           msi0, msi1)
+
+    def track_bs(self, bs: int):
+        self.bs_max = max(self.bs_max, bs)
+
+    # -- finalize / assemble -------------------------------------------
+
+    def _finalize(self):
+        cur = self._cur
+        if cur is None:
+            return
+        self._cur = None
         W = self.W
-        ar = np.arange(W, dtype=np.int32)  # state idx (compare lhs)
-        g1 = np.arange(W, dtype=np.int32)
-        br = np.arange(W, dtype=np.int32)  # state idx (compare rhs)
-        g2 = np.arange(W, dtype=np.int32)
-        self.steps.append((OP_CMPSEL, ar, g1, br, g2))
-        return self.steps[-1][1:]
+        colinfo = []  # per column: ("p", params) | ("bank", bank_id)
+        lo, hi = W, 0
+        for ci in range(4):
+            row = cur.rows[ci]
+            hint = cur.hints[ci]
+            dk, dc = cur._dflts[ci]
+            if hint is not None:
+                synth = _synth_np(hint, W)
+                if not np.array_equal(synth, row):
+                    bad = np.nonzero(synth != row)[0]
+                    raise AssertionError(
+                        f"schedule hint mismatch: op={cur.op} col="
+                        f"{COLS[ci]} first bad p={bad[0]} "
+                        f"(formula {synth[bad[0]]} != row {row[bad[0]]}; "
+                        f"{bad.size} rows differ)")
+                colinfo.append(("p", hint))
+                span = int(hint[CP_SPAN])
+                if span > 0:
+                    lo = min(lo, int(hint[CP_OFF]))
+                    hi = max(hi, int(hint[CP_OFF]) + span)
+                continue
+            base = (self._iota if dk == 0
+                    else np.full(W, dc, np.int32))
+            diff = np.nonzero(row != base)[0]
+            if diff.size == 0:
+                colinfo.append(("p", _P(dk=dk, dc=dc)))
+                continue
+            self._bank_rows.append(row)
+            colinfo.append(("bank", len(self._bank_rows) - 1))
+            lo = min(lo, int(diff[0]))
+            hi = max(hi, int(diff[-1]) + 1)
+        if hi <= lo:  # fully-passthrough step
+            lo, hi = 0, 1
+        self._fin.append((cur.op, lo, hi, colinfo, cur.dp))
 
     def arrays(self) -> Schedule:
-        """Window-compact the accumulated steps into a Schedule.
-
-        Per step, the active rows are those whose output differs from a
-        passthrough (and, for OP_CMPSEL, rows contributing a non-trivial
-        compare); the schedule stores only a fixed-width window
-        [start, start+A) covering every step's active span, A = the max
-        span padded to the 128-row position tile. Rows inside a window
-        that aren't active keep their identity defaults, so correctness
-        is unaffected — only wasted compute and index memory shrink.
-        """
+        """Assemble the finalized steps into a Schedule. The window
+        width A is the max active span over steps, padded to the 128-row
+        position tile; residual bank rows are sliced to their step's
+        window."""
+        self._finalize()
         W = self.W
-        iota = np.arange(W, dtype=np.int32)
-        spans = []
-        for op, a, g1, b, g2 in self.steps:
-            if op == OP_AFFINE:
-                iden = (a == ONE) & (b == ZERO) & (g1 == iota)
-            elif op == OP_MUL:
-                iden = (g1 == iota) & (g2 == self.one_pos)
-            elif op == OP_AFF1:
-                iden = (b == ZERO) & (g1 == iota)
-            elif op == OP_AFF1S:
-                iden = b == ZERO  # x1 is the slice itself
-            else:  # OP_CMPSEL: both select arms self AND trivial compare
-                iden = (g1 == iota) & (g2 == iota) & (a == b)
-            act = np.nonzero(~iden)[0]
-            spans.append((int(act[0]), int(act[-1]) + 1) if act.size
-                         else (0, 1))
-        A = max(hi - lo for lo, hi in spans)
+        steps = self._fin
+        A = max(hi - lo for _, lo, hi, _, _ in steps)
         A = min(W, (A + 127) & ~127)
-        ops, starts, cols = [], [], ([], [], [], [])
-        zrow = np.zeros(A, np.int32)
-        for (op, a, g1, b, g2), (lo, hi) in zip(self.steps, spans):
-            start = min(lo, W - A)
-            ops.append(op)
-            starts.append(start)
-            # zero the columns an opcode never reads so identical work
-            # dedupes into one bank row regardless of the window start
-            rows = [a[start:start + A], g1[start:start + A],
-                    b[start:start + A], g2[start:start + A]]
-            if op in (OP_AFF1, OP_AFF1S, OP_MUL):
-                rows[0] = zrow
-            if op == OP_AFF1S:
-                rows[1] = zrow
-            for acc, arr in zip(cols, rows):
-                acc.append(arr)
-        # per-column row BANKS with exact dedupe: schedules repeat index
-        # rows heavily (EXIT runs four structurally identical extends
-        # per level; butterfly partner maps repeat between the down and
-        # up sweeps), so storing unique rows + a per-step row id cuts
-        # schedule memory ~4-5x — the difference between EXIT at n=2^18
-        # fitting in one chip's HBM or not
-        banks, ids = [], []
-        for acc in cols:
-            # hash-based dedupe: np.unique(axis=0) lexsorts gigabytes
-            # at n=2^18; a bytes-key dict is one linear pass
-            seen: dict = {}
-            rows_out = []
-            idx = np.empty(len(acc), np.int32)
-            for t, row in enumerate(acc):
-                row = np.ascontiguousarray(row, dtype=np.int32)
-                j = seen.get(row.tobytes())
-                if j is None:
-                    j = len(rows_out)
-                    seen[row.tobytes()] = j
-                    rows_out.append(row)
-                idx[t] = j
-            banks.append(np.stack(rows_out))
-            ids.append(idx)
-        xs = (np.asarray(ops, np.int32), np.asarray(starts, np.int32),
-              ids[0], ids[1], ids[2], ids[3],
-              banks[0], banks[1], banks[2], banks[3])
-        return Schedule(W, xs)
+        ops = np.asarray([s[0] for s in steps], np.int32)
+        starts = np.asarray([min(lo, W - A) for _, lo, _, _, _ in steps],
+                            np.int32)
+        colp = np.zeros((len(steps), 4, NCP), np.int32)
+        rid = np.full((len(steps), 4), -1, np.int32)
+        dp = np.stack([s[4] for s in steps])
+        bank = []
+        for t, (op, lo, hi, colinfo, _) in enumerate(steps):
+            start = int(starts[t])
+            for ci, (kind, val) in enumerate(colinfo):
+                if kind == "p":
+                    colp[t, ci] = val
+                else:
+                    row = self._bank_rows[val][start:start + A]
+                    bank.append(np.ascontiguousarray(row))
+                    rid[t, ci] = len(bank) - 1
+        bank = (np.stack(bank) if bank
+                else np.zeros((1, A), np.int32))
+        xs = (ops, starts, colp, dp, rid, bank)
+        return Schedule(W, A, self.bs_max, xs)
 
 
-def _emit_extend(bld, off, k: int, moiety: int, region, src_region=None):
-    """Butterfly steps of EXTEND over tree size k on a packed region.
 
-    ``region(j, i) -> global position`` maps (block j, offset i < k/2) and
-    must accept numpy arrays (all emitters are fully vectorized — python
-    per-position loops cost O(n log n) per schedule and dominated build
-    time beyond n=2^12); the first down-step reads from ``src_region``
-    (defaults to region), folding lane-to-lane copies into the butterfly.
-    Blocks share coefficients (ops/core.py::extend).
 
-    SCALED EMISSION: every level but the last is the 1-mul OP_AFF1S
-    form out[p] = x[p] + C·x[p^half] (coefficients sc_{k}_{mo}_{li}
-    from _scaled_extend_levels, which absorbs the self-coefficient into
-    a per-row running diagonal); the last recombine level applies the
-    accumulated diagonal with a full 2-mul OP_AFFINE (sfa/sfb), so the
-    extend's outputs are exactly the reference's (fftree.rs:72-120) —
-    ~2× less multiply work per butterfly network on the step kernel.
+def _mesh(nb: int, bs: int):
+    J, I = np.meshgrid(np.arange(nb), np.arange(bs), indexing="ij")
+    return J.ravel(), I.ravel()
+
+
+def _emit_extend(bld, off, k: int, moiety: int, dst, nblocks: int,
+                 src=None):
+    """Butterfly steps of EXTEND over tree size k on a block region.
+
+    ``dst`` = (base, stride): the m/2-point inputs of block j live at
+    positions base + j·stride + i, i < k/2 (stride ≥ k/2; EXIT uses
+    stride-k gapped regions). ``src`` = (base, stride, iscale_log): the
+    first down-level reads inputs from base + j·stride + (i << iscale),
+    folding lane-to-lane copies into the butterfly (multi-block sources
+    must share the destination stride; strided single-block sources like
+    DEGREE's even-eval subsample use iscale). Blocks share coefficients.
+
+    SCALED EMISSION (default): every level but the last is the 1-mul
+    form out[p] = x[p] + C·x[p^half] with C computed by the in-scan
+    running-diagonal engine (DOP_LEVEL0/LEVEL micro-ops on each step);
+    the last recombine level applies the accumulated diagonal with a
+    2-mul OP_AFFINE_C (DOP_FINAL), so the extend's outputs are exactly
+    the reference's (fftree.rs:72-120) at ~55% of the multiply work.
+    When the pool flags ``unscaled`` (some Lemma-3.2 diagonal is zero),
+    every level runs as an exact 2-mul OP_AFFINE with coefficients
+    gathered straight from the compact matrix planes.
     """
     bs = k // 2
     if bs == 1:
         return  # size-1 extend is the identity (fftree.rs:74-76)
     logm = _ilog2(bs)
-    mo = moiety
-    nblocks = bld.nblocks
-    J, I = np.meshgrid(np.arange(nblocks), np.arange(bs), indexing="ij")
-    J, I = J.ravel(), I.ravel()
-    P = np.asarray(region(J, I))
+    R0, dstr = dst
+    span = (nblocks - 1) * dstr + bs
+    act = dict(off=R0, span=span, km=dstr - 1, alo=0, ahi=bs)
+    if src is not None:
+        S0b, sstr, isl = src
+        assert nblocks == 1 or (sstr == dstr and isl == 0), \
+            "multi-block sources must share the destination stride"
+    unscaled = off.get("unscaled", False)
+    pdec = 0 if moiety == S0 else 1
+    prec = 2 if moiety == S0 else 3
+    levels = [(pdec, d, False) for d in range(logm)]
+    levels += [(prec, d, d == 0) for d in reversed(range(logm))]
+    bld.track_bs(bs)
+    J, I = _mesh(nblocks, bs)
+    P = R0 + J * dstr + I
 
-    li = 0
-    for d in range(logm):
-        half = bs >> (d + 1)
-        ext_src = d == 0 and src_region is not None
-        src = src_region if ext_src else region
-        ar, g1, br, g2 = bld.new_aff1_step(self_read=not ext_src)
-        br[P] = off[f"sc_{k}_{mo}_{li}"] + I
-        if ext_src:
-            g1[P] = src(J, I)
-        g2[P] = src(J, I ^ half)
-        li += 1
-    for d in reversed(range(logm)):
-        half = bs >> (d + 1)
-        if d == 0:  # final level: unscale with the absorbed (A, B)
-            ar, g1, br, g2 = bld.new_step()
-            ar[P] = off[f"sfa_{k}_{mo}"] + I
-            br[P] = off[f"sfb_{k}_{mo}"] + I
-            g1[P] = P
-            g2[P] = region(J, I ^ half)
+    def hint_partner(col, half, from_src: bool):
+        if not from_src:
+            bld.hint(col, **act, c0=R0, xx=half, m3=-1)
+        elif nblocks > 1 or (sstr == dstr and isl == 0):
+            bld.hint(col, **act, c0=S0b, xx=half, m3=-1)
+        else:  # strided single-block source: xor on u = t << isl
+            bld.hint(col, **act, c0=S0b, s2=-isl, xx=half << isl, m3=-1)
+
+    def hint_src_read(col):
+        if nblocks > 1 or (sstr == dstr and isl == 0):
+            bld.hint(col, **act, c0=S0b, m1=-1)
         else:
-            ar, g1, br, g2 = bld.new_aff1_step(self_read=True)
-            br[P] = off[f"sc_{k}_{mo}_{li}"] + I
-            g2[P] = region(J, I ^ half)
-            li += 1
+            bld.hint(col, **act, c0=S0b, s2=-isl, m2=-1)
+
+    for li, (pi, d, fin) in enumerate(levels):
+        half = bs >> (d + 1)
+        bm = off[f"bm_{k}_{d}_{pi}"]
+        hw = half  # plane width
+        use_src = li == 0 and src is not None
+        srcp = (S0b + J * sstr + (I << isl)) if use_src else None
+        if unscaled:
+            # exact 2-mul butterfly: a = diag, b = off-diag, selected by
+            # the butterfly bit (the reference's matrix application)
+            ar, g1, br, g2 = bld.new_step()
+            ar[P] = np.where((I & half) != 0, bm + hw, bm) + (I & (half - 1))
+            br[P] = (np.where((I & half) != 0, bm + 3 * hw, bm + 2 * hw)
+                     + (I & (half - 1)))
+            bld.hint("a", **act, sb=_ilog2(half), c0=bm, c1=bm + hw,
+                     m1=half - 1, dk=1, dc=ONE)
+            bld.hint("b", **act, sb=_ilog2(half), c0=bm + 2 * hw,
+                     c1=bm + 3 * hw, m1=half - 1, dk=1, dc=ZERO)
+            if use_src:
+                g1[P] = srcp
+                g2[P] = S0b + J * sstr + ((I ^ half) << isl)
+                hint_src_read("g1")
+                hint_partner("g2", half, True)
+            else:
+                g2[P] = R0 + J * dstr + (I ^ half)
+                hint_partner("g2", half, False)
+            continue
+        if fin:  # unscale: out = (Ms·D)·x[p] + (Mp·D[perm])·x[p^half]
+            ar, g1, br, g2 = bld.new_step(csrc=True)
+            ar[P] = 1 + I
+            br[P] = 1 + I
+            g2[P] = R0 + J * dstr + (I ^ half)
+            bld.hint("a", **act, c0=1, m1=dstr - 1)
+            bld.hint("b", **act, c0=1, m1=dstr - 1)
+            hint_partner("g2", half, False)
+        elif use_src:
+            ar, g1, br, g2 = bld.new_aff1_step(csrc=True)
+            br[P] = 1 + I
+            g1[P] = srcp
+            g2[P] = S0b + J * sstr + ((I ^ half) << isl)
+            bld.hint("b", **act, c0=1, m1=dstr - 1)
+            hint_src_read("g1")
+            hint_partner("g2", half, True)
+        else:
+            ar, g1, br, g2 = bld.new_aff1_step(self_read=True, csrc=True)
+            br[P] = 1 + I
+            g2[P] = R0 + J * dstr + (I ^ half)
+            bld.hint("b", **act, c0=1, m1=dstr - 1)
+            hint_partner("g2", half, False)
+        bld.dop(DOP_FINAL if fin else (DOP_LEVEL0 if li == 0
+                                       else DOP_LEVEL),
+                shalf=_ilog2(half), hm=half - 1, half=half,
+                ms0=bm, ms1=bm + hw, mp0=bm + 2 * hw, mp1=bm + 3 * hw,
+                msi0=bm + 4 * hw, msi1=bm + 5 * hw)
 
 
 def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
@@ -514,9 +657,7 @@ def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
     off = tree.pool_offsets
     W = m + 1
     bld = _Builder(W)
-    bld.nblocks = 1
-    region = lambda j, i: i  # noqa: E731
-    _emit_extend(bld, off, 2 * m, moiety, region)
+    _emit_extend(bld, off, 2 * m, moiety, (0, m), 1)
     if mextend:
         zkey = "z0_s1" if moiety == S1 else "z1_s0"
         zoff = off[f"{zkey}_{2 * m}"]
@@ -524,6 +665,8 @@ def extend_schedule(tree, m: int, moiety: int, mextend: bool = False):
         idx = np.arange(m)
         br[idx] = zoff + idx
         g2[idx] = m  # const-one slot
+        bld.hint("b", off=0, span=m, c0=zoff, m1=-1)
+        bld.hint("g2", off=0, span=m, c0=m)
     return bld.arrays()
 
 
@@ -537,23 +680,26 @@ def enter_schedule(tree, n: int):
     size = 2
     while size <= n:
         k, bs = size, size // 2
-        bld.nblocks = n // bs  # every block extends (u and v alike)
-        region = lambda j, i: n + j * bs + i  # noqa: E731
-        src = lambda j, i: j * bs + i  # noqa: E731
-        _emit_extend(bld, off, k, S1, region, src_region=src)
+        # every block extends (u and v alike); scratch lane destination
+        _emit_extend(bld, off, k, S1, (n, bs), n // bs, src=(0, bs, 0))
         # combine (fftree.rs:155-159): u + xnn·v is the 1-mul form
         xnn_off = off[f"xnn_s_{k}"]
         ar, g1, br, g2 = bld.new_aff1_step()
-        Jc, Rc = np.meshgrid(np.arange(n // k), np.arange(k), indexing="ij")
-        Jc, Rc = Jc.ravel(), Rc.ravel()
+        Jc, Rc = _mesh(n // k, k)
         Ic = Rc // 2
         P = Jc * k + Rc
         # u1/v1 come from the scratch lane (lane0 when bs == 1: the
         # size-1 extend was the identity)
-        base = np.where(Rc % 2 == 0, 0, 0 if bs == 1 else n)
+        nbase = 0 if bs == 1 else n
+        base = np.where(Rc % 2 == 0, 0, nbase)
         g1[P] = base + Jc * k + Ic
         g2[P] = base + Jc * k + bs + Ic
         br[P] = xnn_off + Rc
+        bld.hint("g1", off=0, span=n, sb=0, c0=0, c1=nbase,
+                 m1=~(k - 1), s2=1, m2=(k - 1) >> 1)
+        bld.hint("g2", off=0, span=n, sb=0, c0=bs, c1=nbase + bs,
+                 m1=~(k - 1), s2=1, m2=(k - 1) >> 1)
+        bld.hint("b", off=0, span=n, c0=xnn_off, m1=k - 1)
         size *= 2
     return bld.arrays()
 
@@ -571,21 +717,20 @@ def exit_schedule(tree, n: int):
     while k >= 2:
         bs = k // 2
         nb = n // k
-        bld.nblocks = nb
-        sa = lambda j, i: n + j * k + i  # noqa: E731
-        sb = lambda j, i: n + j * k + bs + i  # noqa: E731
-        lane0 = lambda j, i: j * k + i  # noqa: E731
+        SA0, SB0 = n, n + bs  # stride-k block regions on the scratch lane
         a0inv = off[f"xnn_s_inv_{k}"]  # even entries via stride-2 index
         z0inv = off[f"z0_inv_s1_{k}"]
         negaz = off[f"neg_a1_z0inv_{k}"]
         c0a0 = off[f"c0_a0inv_{k}"]
         zc1 = off[f"zc1_{k}"]
-        xnninv = off[f"xnn_s_inv_{k}"]
         negxi = off[f"neg_xnninv_{k}"]
-
-        J, I = np.meshgrid(np.arange(nb), np.arange(bs), indexing="ij")
-        J, I = J.ravel(), I.ravel()
-        SA, SB = np.asarray(sa(J, I)), np.asarray(sb(J, I))
+        J, I = _mesh(nb, bs)
+        SA = SA0 + J * k + I
+        SB = SB0 + J * k + I
+        actA = dict(off=SA0, span=(nb - 1) * k + bs, km=k - 1, alo=0,
+                    ahi=bs)
+        actB = dict(off=SB0, span=(nb - 1) * k + bs, km=k - 1, alo=0,
+                    ahi=bs)
 
         # -- REDC 1 (moiety S0, a = xnn) --
         # t0 = e0·a0inv → Sa (fftree.rs:238): pure scale = 1-mul step
@@ -593,105 +738,144 @@ def exit_schedule(tree, n: int):
         ar, g1, br, g2 = bld.new_aff1_step()
         g1[SA] = bld.zero_pos
         br[SA] = a0inv + 2 * I
-        g2[SA] = lane0(J, 2 * I)
+        g2[SA] = J * k + 2 * I
+        bld.hint("g1", **actA, c0=bld.zero_pos, dk=0)
+        bld.hint("b", **actA, c0=a0inv, s2=-1, m2=2 * bs - 1)
+        bld.hint("g2", **actA, m1=~(k - 1), s2=-1, m2=2 * bs - 1)
         # g1v = extend(t0, S1) on Sa
-        _emit_extend(bld, off, k, S1, sa)
+        _emit_extend(bld, off, k, S1, (SA0, k), nb)
         # h1 = z0inv·e1 + negaz·g1v → Sb  (fftree.rs:253-255)
         ar, g1, br, g2 = bld.new_step()
         ar[SB] = z0inv + I
-        g1[SB] = lane0(J, 2 * I + 1)
+        g1[SB] = J * k + 2 * I + 1
         br[SB] = negaz + I
         g2[SB] = SA
+        bld.hint("a", **actB, c0=z0inv, m1=k - 1)
+        bld.hint("g1", **actB, c0=1, m1=~(k - 1), s2=-1, m2=2 * bs - 1)
+        bld.hint("b", **actB, c0=negaz, m1=k - 1)
+        bld.hint("g2", **actB, c0=SA0, m1=-1)
         # h0 = extend(h1, S0): read Sb, work in Sa (h1 must survive)
-        _emit_extend(bld, off, k, S0, sa, src_region=sb)
-        h0_region, h1_region = (sa, sb) if bs > 1 else (sb, sb)
-        H0 = np.asarray(h0_region(J, I))
-        H1 = np.asarray(h1_region(J, I))
+        _emit_extend(bld, off, k, S0, (SA0, k), nb, src=(SB0, k, 0))
+        h0b, h1b = (SA0, SB0) if bs > 1 else (SB0, SB0)
 
         # -- fuse ·c and REDC 2 (fftree.rs:277-281) --
         # t0' = (h0·c_even)·a0inv = c0a0·h0 → Sa (1-mul scale)
         ar, g1, br, g2 = bld.new_aff1_step()
         g1[SA] = bld.zero_pos
         br[SA] = c0a0 + I
-        g2[SA] = H0
-        _emit_extend(bld, off, k, S1, sa)
+        g2[SA] = h0b + J * k + I
+        bld.hint("g1", **actA, c0=bld.zero_pos, dk=0)
+        bld.hint("b", **actA, c0=c0a0, m1=k - 1)
+        bld.hint("g2", **actA, c0=h0b, m1=-1)
+        _emit_extend(bld, off, k, S1, (SA0, k), nb)
         # h1' = zc1·h1 + negaz·g1v' → Sb
         ar, g1, br, g2 = bld.new_step()
         ar[SB] = zc1 + I
-        g1[SB] = H1
+        g1[SB] = h1b + J * k + I
         br[SB] = negaz + I
         g2[SB] = SA
-        _emit_extend(bld, off, k, S0, sa, src_region=sb)
-        U0 = np.asarray((sa if bs > 1 else sb)(J, I))
+        bld.hint("a", **actB, c0=zc1, m1=k - 1)
+        bld.hint("g1", **actB, c0=h1b, m1=-1)
+        bld.hint("b", **actB, c0=negaz, m1=k - 1)
+        bld.hint("g2", **actB, c0=SA0, m1=-1)
+        _emit_extend(bld, off, k, S0, (SA0, k), nb, src=(SB0, k, 0))
+        U0b = SA0 if bs > 1 else SB0
 
-        # -- split: a-half = u0, b-half = (e0 − u0)·xnninv_even --
-        # (fftree.rs:206-221; u0 = MOD's even entries = h0')
+        # -- split: b-half first (it reads e0 the a-half would clobber),
+        # then a-half = u0 (fftree.rs:206-221; u0 = MOD's even = h0') --
         ar, g1, br, g2 = bld.new_step()
-        PA = J * k + I
         PB = J * k + bs + I
-        g1[PA] = U0
-        ar[PB] = xnninv + 2 * I
-        g1[PB] = lane0(J, 2 * I)
+        ar[PB] = a0inv + 2 * I
+        g1[PB] = J * k + 2 * I
         br[PB] = negxi + 2 * I
-        g2[PB] = U0
+        g2[PB] = U0b + J * k + I
+        actPB = dict(off=bs, span=(nb - 1) * k + bs, km=k - 1, alo=0,
+                     ahi=bs)
+        bld.hint("a", **actPB, c0=a0inv, s2=-1, m2=2 * bs - 1)
+        bld.hint("g1", **actPB, m1=~(k - 1), s2=-1, m2=2 * bs - 1)
+        bld.hint("b", **actPB, c0=negxi, s2=-1, m2=2 * bs - 1)
+        bld.hint("g2", **actPB, c0=U0b, m1=-1)
+        ar, g1, br, g2 = bld.new_aff1_step()
+        PA = J * k + I
+        g1[PA] = U0b + J * k + I
+        bld.hint("g1", off=0, span=(nb - 1) * k + bs, km=k - 1, alo=0,
+                 ahi=bs, c0=U0b, m1=-1)
         k //= 2
     return bld.arrays()
 
 
 def mod_schedule(tree, k: int, redc_only: bool = False, moiety: int = S0):
     """Standalone MOD (or single REDC) by a = X^(k/2) with the canonical
-    c = z0z0 table (the fftree.rs:286-289 public entry specialized to the
+    c table (the fftree.rs:286-289 public entry specialized to the
     precomputed-modulus case). Output replaces the value lane with the
-    interleaved (h0', h1') table.
+    interleaved (h0', h1') table. ``moiety=S1`` gives canonical REDC by
+    Z₁ (fftree.rs:272-275); full MOD is S0-only (fftree.rs:278-280).
     """
+    assert moiety == S0 or redc_only, "full MOD is S0-only"
     off = tree.pool_offsets
     n = k
     W = 2 * n + 1
     bld = _Builder(W)
     bs = k // 2
-    bld.nblocks = 1
-    sa = lambda j, i: n + i  # noqa: E731
-    sb = lambda j, i: n + bs + i  # noqa: E731
-    lane0 = lambda j, i: i  # noqa: E731
+    SA0, SB0 = n, n + bs
     a0inv = off[f"xnn_s_inv_{k}"]
-    z0inv = off[f"z0_inv_s1_{k}"] if moiety == S0 else off[f"z1_inv_s0_{k}"]
-    negaz = off[f"neg_a1_z0inv_{k}"]
+    z0inv = (off[f"z0_inv_s1_{k}"] if moiety == S0
+             else off[f"z1_inv_s0_{k}"])
+    negaz = (off[f"neg_a1_z0inv_{k}"] if moiety == S0
+             else off[f"neg_a1_z1inv_{k}"])
     c0a0 = off[f"c0_a0inv_{k}"]
     zc1 = off[f"zc1_{k}"]
+    other = S1 if moiety == S0 else S0
 
     I = np.arange(bs)
-    Z = np.zeros(bs, dtype=np.int64)
-    SA, SB = np.asarray(sa(Z, I)), np.asarray(sb(Z, I))
+    SA, SB = SA0 + I, SB0 + I
+    actA = dict(off=SA0, span=bs)
+    actB = dict(off=SB0, span=bs)
     ar, g1, br, g2 = bld.new_aff1_step()
     g1[SA] = bld.zero_pos
     br[SA] = a0inv + 2 * I
-    g2[SA] = lane0(Z, 2 * I)
-    _emit_extend(bld, off, k, S1 if moiety == S0 else S0, sa)
+    g2[SA] = 2 * I
+    bld.hint("g1", **actA, c0=bld.zero_pos, dk=0)
+    bld.hint("b", **actA, c0=a0inv, s2=-1, m2=-1)
+    bld.hint("g2", **actA, s2=-1, m2=-1)
+    _emit_extend(bld, off, k, other, (SA0, k), 1)
     ar, g1, br, g2 = bld.new_step()
     ar[SB] = z0inv + I
-    g1[SB] = lane0(Z, 2 * I + 1)
+    g1[SB] = 2 * I + 1
     br[SB] = negaz + I
     g2[SB] = SA
-    _emit_extend(bld, off, k, moiety, sa, src_region=sb)
-    h0_region, h1_region = (sa, sb) if bs > 1 else (sb, sb)
+    bld.hint("a", **actB, c0=z0inv, m1=-1)
+    bld.hint("g1", **actB, c0=1, s2=-1, m2=-1)
+    bld.hint("b", **actB, c0=negaz, m1=-1)
+    bld.hint("g2", **actB, c0=SA0, m1=-1)
+    _emit_extend(bld, off, k, moiety, (SA0, k), 1, src=(SB0, k, 0))
+    h0b, h1b = (SA0, SB0) if bs > 1 else (SB0, SB0)
     if not redc_only:
         ar, g1, br, g2 = bld.new_aff1_step()
         g1[SA] = bld.zero_pos
         br[SA] = c0a0 + I
-        g2[SA] = np.asarray(h0_region(Z, I))
-        _emit_extend(bld, off, k, S1, sa)
+        g2[SA] = h0b + I
+        bld.hint("g1", **actA, c0=bld.zero_pos, dk=0)
+        bld.hint("b", **actA, c0=c0a0, m1=-1)
+        bld.hint("g2", **actA, c0=h0b, m1=-1)
+        _emit_extend(bld, off, k, S1, (SA0, k), 1)
         ar, g1, br, g2 = bld.new_step()
         ar[SB] = zc1 + I
-        g1[SB] = np.asarray(h1_region(Z, I))
+        g1[SB] = h1b + I
         br[SB] = negaz + I
         g2[SB] = SA
-        _emit_extend(bld, off, k, S0, sa, src_region=sb)
-        h0_region = sa if bs > 1 else sb
-        h1_region = sb
+        bld.hint("a", **actB, c0=zc1, m1=-1)
+        bld.hint("g1", **actB, c0=h1b, m1=-1)
+        bld.hint("b", **actB, c0=negaz, m1=-1)
+        bld.hint("g2", **actB, c0=SA0, m1=-1)
+        _emit_extend(bld, off, k, S0, (SA0, k), 1, src=(SB0, k, 0))
+        h0b = SA0 if bs > 1 else SB0
+        h1b = SB0
     # interleave result back onto the value lane (mul-free copy step)
     ar, g1, br, g2 = bld.new_aff1_step()
-    g1[2 * I] = np.asarray(h0_region(Z, I))
-    g1[2 * I + 1] = np.asarray(h1_region(Z, I))
+    g1[2 * I] = h0b + I
+    g1[2 * I + 1] = h1b + I
+    bld.hint("g1", off=0, span=k, sb=0, c0=h0b, c1=h1b, s2=1, m2=-1)
     return bld.arrays()
 
 
@@ -708,9 +892,8 @@ def degree_schedule(tree, n: int):
     SA [n+3, n+3+n/2) extend scratch · SB t₁/t₀ scratch. Every step is
     laid out to keep its active span ≤ n/2+1: the accumulator update is
     its own one-row step; the branch select is TWO cmpsel steps (V rows,
-    then acc) whose compare index pairs ride as free-riders on
-    passthrough rows inside each window — so the whole schedule windows
-    to ~n/2 instead of ~2n (4× less per-step work after compaction).
+    then acc) whose compare indices live on rows just below acc — so the
+    whole schedule windows to ~n/2 instead of ~2n.
     """
     off = tree.pool_offsets
     acc, acc_s = n, n + 1
@@ -728,44 +911,57 @@ def degree_schedule(tree, n: int):
         g1[acc_s] = acc
         br[acc_s] = off[f"half_const_{k}"]
         g2[acc_s] = one_pos
+        bld.hint("g1", off=acc_s, span=1, c0=acc, dk=0)
+        bld.hint("b", off=acc_s, span=1, c0=off[f"half_const_{k}"])
+        bld.hint("g2", off=acc_s, span=1, c0=one_pos, dk=0)
         if bs == 1:
             ar, g1, br, g2 = bld.new_aff1_step()  # identity extend = copy
             g1[SA] = 2 * I
+            bld.hint("g1", off=sa, span=1, c0=0)
         else:
-            bld.nblocks = 1
-            _emit_extend(bld, off, k, S1,
-                         lambda j, i: sa + i, src_region=lambda j, i: 2 * i)
+            _emit_extend(bld, off, k, S1, (sa, bs), 1, src=(0, 1, 1))
         # t1 = z0inv·e1 − z0inv·g1 → SB
         ar, g1, br, g2 = bld.new_step()
         ar[SB] = off[f"z0_inv_s1_{k}"] + I
         g1[SB] = 2 * I + 1
         br[SB] = off[f"neg_z0_inv_s1_{k}"] + I
         g2[SB] = SA
+        bld.hint("a", off=sb, span=bs, c0=off[f"z0_inv_s1_{k}"], m1=-1)
+        bld.hint("g1", off=sb, span=bs, c0=1, s2=-1, m2=-1)
+        bld.hint("b", off=sb, span=bs, c0=off[f"neg_z0_inv_s1_{k}"],
+                 m1=-1)
+        bld.hint("g2", off=sb, span=bs, c0=sa, m1=-1)
         if bs > 1:
-            bld.nblocks = 1
-            _emit_extend(bld, off, k, S0,
-                         lambda j, i: sb + i, src_region=lambda j, i: sb + i)
+            _emit_extend(bld, off, k, S0, (sb, bs), 1, src=(sb, bs, 0))
         # low path iff extend(e₀) == e₁. cmpsel 1: acc row FIRST (the
         # V-select below overwrites the odd evals the compare reads) —
-        # the compare pairs ride as free-riders on passthrough rows just
-        # below acc, so the window stays [acc−bs, acc]
+        # the compare pairs sit on rows just below acc
         ar, g1, br, g2 = bld.new_cmpsel_step()
         rows = acc - bs + I
         ar[rows] = SA
         br[rows] = 2 * I + 1
         g1[acc] = acc
         g2[acc] = acc_s
+        bld.hint("a", off=acc - bs, span=bs, c0=sa, m1=-1)
+        bld.hint("b", off=acc - bs, span=bs, c0=1, s2=-1, m2=-1)
+        bld.hint("g1", off=acc, span=1, c0=acc, dk=0)
+        bld.hint("g2", off=acc, span=1, c0=acc_s, dk=0)
         # cmpsel 2: V rows — compare pairs sit on the SAME rows being
-        # written (ar/br are compare indices, g1/g2 the select)
+        # written (a/b are compare indices, g1/g2 the select)
         ar, g1, br, g2 = bld.new_cmpsel_step()
         ar[I] = SA
         br[I] = 2 * I + 1
         g1[I] = 2 * I
         g2[I] = SB
+        bld.hint("a", off=0, span=bs, c0=sa, m1=-1)
+        bld.hint("b", off=0, span=bs, c0=1, s2=-1, m2=-1)
+        bld.hint("g1", off=0, span=bs, s2=-1, m2=-1)
+        bld.hint("g2", off=0, span=bs, c0=sb, m1=-1)
         k //= 2
     # expose acc at row 0 for from_state (mul-free copy step)
     ar, g1, br, g2 = bld.new_aff1_step()
     g1[0] = acc
+    bld.hint("g1", off=0, span=1, c0=acc)
     return bld.arrays()
 
 
@@ -779,12 +975,10 @@ def vanish_schedule(tree, v: int):
     that ping-pong with the two v-row scratch planes each level — a
     merged group's S0 plane IS the product plane and its S1 plane IS
     the mextend output, so there are no interleave steps and every
-    step's active span is exactly v (the naive interleaved layout
-    spanned 2v and doubled the post-compaction window). The final
-    domain-ordered interleave is a post-scan output permutation
-    (run_schedule's out_perm).
+    step's active span is exactly v. The final domain-ordered interleave
+    is a post-scan output permutation (run_schedule's out_perm).
 
-    Returns (schedule, out_perm).
+    Returns the schedule with out_perm set.
     """
     off = tree.pool_offsets
     one_pos = 4 * v
@@ -796,34 +990,42 @@ def vanish_schedule(tree, v: int):
     g1[v + I] = I
     br[v + I] = off["neg_leaf2"] + 1
     g2[v + I] = one_pos
+    bld.hint("g1", off=v, span=v, m1=-1)
+    bld.hint("b", off=v, span=v, c0=off["neg_leaf2"] + 1)
+    bld.hint("g2", off=v, span=v, c0=one_pos)
     ar, g1, br, g2 = bld.new_aff1_step(self_read=True)
     br[I] = off["neg_leaf2"] + 0
     g2[I] = one_pos
+    bld.hint("b", off=0, span=v, c0=off["neg_leaf2"])
+    bld.hint("g2", off=0, span=v, c0=one_pos)
     base = 0  # current planes at [base, base+2v); scratch at the other
     cur = 2
     while cur < 2 * v:
         ng = 2 * v // cur // 2  # merged groups this level
         scratch = 2 * v - base
         mc = cur // 2  # per-moiety size of a child group
-        J, T = np.meshgrid(np.arange(ng), np.arange(cur), indexing="ij")
-        J, T = J.ravel(), T.ravel()
-        # child value at domain position t: even → S0 plane, odd → S1
-        def child(c, t):
-            return base + np.where(t % 2 == 0, 0, v) + c * mc + t // 2
+        J, T = _mesh(ng, cur)
         SA = scratch + J * cur + T
         SB = scratch + v + J * cur + T
+        # child value at domain position t: even → S0 plane, odd → S1;
         # q_s0[g, t] = left(t) · right(t) (state×state)
         ar, g1, br, g2 = bld.new_mul_step()
-        g1[SA] = child(2 * J, T)
-        g2[SA] = child(2 * J + 1, T)
+        g1[SA] = base + np.where(T % 2 == 0, 0, v) + 2 * J * mc + T // 2
+        g2[SA] = (base + np.where(T % 2 == 0, 0, v) + (2 * J + 1) * mc
+                  + T // 2)
+        bld.hint("g1", off=scratch, span=ng * cur, sb=0, c0=base,
+                 c1=base + v, m1=~(cur - 1), s2=1, m2=mc - 1)
+        bld.hint("g2", off=scratch, span=ng * cur, sb=0, c0=base + mc,
+                 c1=base + v + mc, m1=~(cur - 1), s2=1, m2=mc - 1)
         # mextend q onto S1 of the size-2·cur tree → the new S1 plane
-        bld.nblocks = ng
-        _emit_extend(bld, off, 2 * cur, S1,
-                     lambda j, i: scratch + v + j * cur + i,
-                     src_region=lambda j, i: scratch + j * cur + i)
+        _emit_extend(bld, off, 2 * cur, S1, (scratch + v, cur), ng,
+                     src=(scratch, cur, 0))
         ar, g1, br, g2 = bld.new_aff1_step(self_read=True)
         br[SB] = off[f"z0_s1_{2 * cur}"] + T
         g2[SB] = one_pos
+        bld.hint("b", off=scratch + v, span=ng * cur,
+                 c0=off[f"z0_s1_{2 * cur}"], m1=cur - 1)
+        bld.hint("g2", off=scratch + v, span=ng * cur, c0=one_pos)
         base = scratch
         cur *= 2
     perm = np.empty(2 * v, dtype=np.int32)
@@ -855,20 +1057,27 @@ def general_mod_schedule(tree, m: int, moiety: int = S0,
     I = np.arange(bs)
     AI, SA, SB = ai + I, sa + I, sb + I
     A0, A1 = m + 2 * I, m + 2 * I + 1
-    E0, E1 = 2 * I, 2 * I + 1
+    actAI = dict(off=ai, span=bs)
+    actSA = dict(off=sa, span=bs)
+    actSB = dict(off=sb, span=bs)
 
     # --- scheduled Fermat: AI = a₀^(p−2) ---
     ar, g1, br, g2 = bld.new_aff1_step()
     g1[AI] = A0  # acc = base (top exponent bit); mul-free copy
+    bld.hint("g1", **actAI, c0=m, s2=-1, m2=-1)
     ebits = bin(spec.p - 2)[2:]
     for bit in ebits[1:]:
         ar, g1, br, g2 = bld.new_mul_step()
         g1[AI] = AI
         g2[AI] = AI  # square
+        bld.hint("g1", **actAI, c0=ai, m1=-1)
+        bld.hint("g2", **actAI, c0=ai, m1=-1)
         if bit == "1":
             ar, g1, br, g2 = bld.new_mul_step()
             g1[AI] = AI
             g2[AI] = A0  # multiply by base
+            bld.hint("g1", **actAI, c0=ai, m1=-1)
+            bld.hint("g2", **actAI, c0=m, s2=-1, m2=-1)
 
     other = S1 if moiety == S0 else S0
     zinv = (off[f"z0_inv_s1_{m}"] if moiety == S0
@@ -876,48 +1085,64 @@ def general_mod_schedule(tree, m: int, moiety: int = S0,
     neg_zinv = (off[f"neg_z0_inv_s1_{m}"] if moiety == S0
                 else off[f"neg_z1_inv_s0_{m}"])
 
-    def redc_pass(e0_src, e1_src):
-        """SA ← h0, SB ← h1 for input evals at (e0_src, e1_src)."""
+    def redc_pass(e0, e1):
+        """SA ← h0, SB ← h1; e0/e1 = (row values, hint params) pairs."""
+        e0_rows, e0_p = e0
+        e1_rows, e1_p = e1
         # t0 = e0·a0inv → SA
         ar, g1, br, g2 = bld.new_mul_step()
-        g1[SA] = e0_src
+        g1[SA] = e0_rows
         g2[SA] = AI
+        bld.hint("g1", **actSA, **e0_p)
+        bld.hint("g2", **actSA, c0=ai, m1=-1)
         # g1v = extend(t0, other) in place
         if bs > 1:
-            bld.nblocks = 1
-            _emit_extend(bld, off, m, other, lambda j, i: sa + i)
+            _emit_extend(bld, off, m, other, (sa, bs), 1)
         # g1v·a1 in place
         ar, g1, br, g2 = bld.new_mul_step()
         g1[SA] = SA
         g2[SA] = A1
+        bld.hint("g1", **actSA, c0=sa, m1=-1)
+        bld.hint("g2", **actSA, c0=m + 1, s2=-1, m2=-1)
         # h1 = zinv·e1 + neg_zinv·(g1v·a1) → SB
         ar, g1, br, g2 = bld.new_step()
         ar[SB] = zinv + I
-        g1[SB] = e1_src
+        g1[SB] = e1_rows
         br[SB] = neg_zinv + I
         g2[SB] = SA
+        bld.hint("a", **actSB, c0=zinv, m1=-1)
+        bld.hint("g1", **actSB, **e1_p)
+        bld.hint("b", **actSB, c0=neg_zinv, m1=-1)
+        bld.hint("g2", **actSB, c0=sa, m1=-1)
         # h0 = extend(h1, moiety) → SA
         if bs > 1:
-            bld.nblocks = 1
-            _emit_extend(bld, off, m, moiety, lambda j, i: sa + i,
-                         src_region=lambda j, i: sb + i)
+            _emit_extend(bld, off, m, moiety, (sa, bs), 1,
+                         src=(sb, bs, 0))
         else:
             ar, g1, br, g2 = bld.new_step()
             g1[SA] = SB
+            bld.hint("g1", **actSA, c0=sb, m1=-1)
 
-    redc_pass(E0, E1)
+    redc_pass((2 * I, dict(s2=-1, m2=-1)),
+              (2 * I + 1, dict(c0=1, s2=-1, m2=-1)))
     if not redc_only:
-        # scale by c (hc0 = h0·c_even, hc1 = h1·c_odd), second REDC
+        # scale by c (hc0 = h0·c_even, hc1 = h1·c_odd): SA and SB are
+        # adjacent, so one mul step with a parity-like select on the
+        # bs-bit covers both halves
         ar, g1, br, g2 = bld.new_mul_step()
         g1[SA] = SA
         g2[SA] = 2 * m + 2 * I
         g1[SB] = SB
         g2[SB] = 2 * m + 2 * I + 1
-        redc_pass(SA, SB)
+        bld.hint("g1", off=sa, span=2 * bs, c0=sa, m1=-1)
+        bld.hint("g2", off=sa, span=2 * bs, sb=_ilog2(bs),
+                 c0=2 * m, c1=2 * m - 2 * bs + 1, s2=-1, m2=-1)
+        redc_pass((SA, dict(c0=sa, m1=-1)), (SB, dict(c0=sb, m1=-1)))
     # interleave (h0, h1) onto V (mul-free copy step)
     ar, g1, br, g2 = bld.new_aff1_step()
     g1[2 * I] = SA
     g1[2 * I + 1] = SB
+    bld.hint("g1", off=0, span=m, sb=0, c0=sa, c1=sb, s2=1, m2=-1)
     return bld.arrays()
 
 
@@ -1127,62 +1352,103 @@ def _mulss(spec: FieldSpec, x1, x2):
     return _reduce_cols(spec, c)
 
 
-def run_schedule(spec: FieldSpec, pool, sched_xs, batch, one_pos: int,
-                 m_out: int, w: int, use_pallas: bool = False,
-                 batch_chunk: int | None = None, out_perm=None):
+
+
+
+# empirically-calibrated TPU-runtime envelope: one compiled program whose
+# scan covers more than ~2^26 step-rows (steps × window A) crashes the
+# worker (512 steps at A=2^17 ran fine; 512 at A=2^18 did not, while 324
+# at A=2^18 did). run_schedule splits schedules into separately-compiled
+# segments under this product; if a segment still dies, the error message
+# below points here.
+STEP_ROW_ENVELOPE = 1 << 26
+
+
+def run_schedule(spec: FieldSpec, pool, sched: Schedule, batch,
+                 one_pos: int, m_out: int, use_pallas: bool = False,
+                 batch_chunk: int | None = None):
     """Execute a schedule: state packing, the step scans, unpacking.
 
-    ``batch``: (B, m, L) input; ``sched_xs`` = (op, start, a_idx, g1,
-    b_idx, g2), op/start (steps,) int32 and the rest (steps, A) int32
-    window-compacted indices (see _Builder.arrays); ``pool``: (P, L);
-    ``w``: the full state width. Each step gathers its window's inputs
-    from anywhere in the state, computes only the A-row window, and
-    writes it back with one dynamic_update_slice — the rest of the state
-    rides the scan carry untouched. With ``use_pallas`` the fused VMEM
-    kernel (ops/pallas_step.py) replaces the XLA muladd2 pipeline for
-    affine steps — gathers stay in XLA either way (they measured cheap).
+    ``batch``: (B, m, L) input; ``sched``: a :class:`Schedule`;
+    ``pool``: (P, L). Each step synthesizes its four index rows from the
+    16-scalar column formulas (residual bank rows where flagged),
+    gathers its window's inputs from anywhere in the state, computes
+    only the A-row window, and writes it back with one
+    dynamic_update_slice — the rest of the state rides the scan carry
+    untouched. Butterfly coefficients are computed by the running-
+    diagonal engine carried through the scan (see module docstring).
+    With ``use_pallas`` the fused VMEM kernel (ops/pallas_step.py)
+    replaces the XLA muladd pipeline for affine steps — gathers stay in
+    XLA either way (they measured cheap).
 
     ``batch_chunk``: process the batch in lane-tile-sized chunks
     (lax.map over the chunk axis inside each compiled segment). HBM peak
-    scales with the per-chunk state (state + two gathers + the step
-    output are each (A, L, B) — batch 256 at n=2^16 secp256k1 is ~10 GB
-    live and faults a 16 GB chip; chunks of 128 halve it while the
-    transform still serves the full batch per call).
+    scales with the per-chunk state.
 
-    Long schedules execute as a CHAIN of separately-jitted ≤512-step
-    segments with the state staying on device between them: a single
-    compiled program containing the EXIT schedule's ~1200 steps crashed
-    the TPU runtime at n=2^17 (even split into several lax.scans inside
-    one jit), while the same steps as separate executables run fine and
-    bit-match the native engine. Segments of equal step count share one
-    compiled trace, so this also compiles faster than one giant scan.
+    Long schedules execute as a CHAIN of separately-jitted segments with
+    the state (and the D/invD diagonals) staying on device between them:
+    a single compiled program past the step-row envelope crashed the TPU
+    runtime, while the same steps as separate executables run fine and
+    bit-match the native engine.
     """
-    x = _pack_state(spec, batch, w, one_pos)
-    scalars, banks = sched_xs[:6], sched_xs[6:]
+    x = _pack_state(spec, batch, sched.W, one_pos)
+    scalars, bank = sched.xs[:5], sched.xs[5]
     nsteps = int(scalars[0].shape[0])
-    # empirically-calibrated TPU-runtime envelope: one compiled program
-    # whose scan covers more than ~2^26 step-rows (steps × window A)
-    # crashes the worker (512 steps at A=2^17 ran fine; 512 at A=2^18
-    # did not, while 324 at A=2^18 did), so the cap adapts to A
-    A = int(sched_xs[9].shape[1])
-    # no fixed floor: a 64-step floor would let steps×A exceed the
-    # envelope once A ≥ 2^21 (the same product that crashed the runtime
-    # at 512 steps × A=2^18), reinstating the crash at n ≥ 2^20
-    seg = max(1, min(512, (1 << 26) // max(A, 1)))
+    A = int(bank.shape[1])
+    seg_max = max(1, min(512, STEP_ROW_ENVELOPE // max(A, 1)))
+    # EVERY segment gets the same step count (the tail padded with
+    # passthrough steps), so all segments of a schedule — and any other
+    # schedule sharing (W, A, seg, bank width) — reuse ONE compiled
+    # program. Beyond compile time, this matters for stability: XLA:CPU's
+    # compiler was observed to segfault after compiling many distinct
+    # large scan programs in one long-lived process.
+    nseg = -(-nsteps // seg_max)
+    seg = -(-nsteps // nseg)
+    pad = nseg * seg - nsteps
+    if pad:
+        scalars = _pad_steps(scalars, pad)
     # fold-unfriendly primes keep the pool Montgomery-resident: convert
     # ONCE per call, outside the segment bodies (jit caches compiled
-    # programs, not values — converting inside _run_segment re-executed
-    # the O(pool) CIOS on every call of every segment)
+    # programs, not values)
     if spec.num_limbs > 1 and spec.fold_terms is None:
         pool = _pool_to_mont(spec, pool)
-    for lo in range(0, nsteps, seg):
-        hi = min(lo + seg, nsteps)
-        x = _run_segment(spec, pool,
-                         tuple(s[lo:hi] for s in scalars) + tuple(banks),
-                         x, use_pallas, batch_chunk)
+    L = spec.num_limbs
+    D = jnp.zeros((max(sched.bs_max, 1), L), jnp.uint32)
+    iD = D
+    for lo in range(0, nseg * seg, seg):
+        hi = lo + seg
+        try:
+            x, D, iD = _run_segment(
+                spec, pool,
+                tuple(s[lo:hi] for s in scalars) + (bank,),
+                x, D, iD, use_pallas, batch_chunk)
+        except Exception as e:  # pragma: no cover - runtime envelope aid
+            raise RuntimeError(
+                f"schedule segment [{lo}:{hi}) (window {A} rows) failed; "
+                f"if this is a TPU-runtime crash, lower "
+                f"STEP_ROW_ENVELOPE (currently 2^"
+                f"{STEP_ROW_ENVELOPE.bit_length() - 1})") from e
     return _unpack_state(
         spec, x, m_out,
-        None if out_perm is None else jnp.asarray(out_perm))
+        None if sched.out_perm is None else jnp.asarray(sched.out_perm))
+
+
+def _pad_steps(scalars, pad: int):
+    """Append `pad` passthrough steps (out[p] = x[p] + 0·x[0]: OP_AFF1
+    with the identity g1 formula and the constant ZERO pool row as C)."""
+    ops_a, starts, colp, dp, rid = scalars
+    cp = np.zeros((pad, 4, NCP), np.int32)
+    cp[:, 0, CP_DK] = 1          # a: constant (unused by OP_AFF1)
+    cp[:, 2, CP_DK] = 1          # b: pool row ZERO (= 0 coefficient)
+    cp[:, 2, CP_DC] = ZERO
+    cp[:, 3, CP_DK] = 1          # g2: state row 0 (multiplied by 0)
+    return (
+        jnp.concatenate([ops_a, jnp.full((pad,), OP_AFF1, jnp.int32)]),
+        jnp.concatenate([starts, jnp.zeros((pad,), jnp.int32)]),
+        jnp.concatenate([colp, jnp.asarray(cp)]),
+        jnp.concatenate([dp, jnp.zeros((pad, NDP), jnp.int32)]),
+        jnp.concatenate([rid, jnp.full((pad, 4), -1, jnp.int32)]),
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
@@ -1216,89 +1482,176 @@ def _pool_to_mont(spec: FieldSpec, pool):
     return _to_mont_cols(spec, pool[:, :, None])[..., 0]
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
-def _run_segment(spec: FieldSpec, pool, sched_xs, x, use_pallas: bool,
-                 batch_chunk: int | None):
-    """One ≤512-step segment of a schedule as its own compiled program
-    (see run_schedule). For fold-unfriendly primes the pool arrives
-    already Montgomery-converted (run_schedule hoists the conversion)."""
+def _synth_jnp(cp, p):
+    """In-scan mirror of _synth_np: synthesize one column's (A,) index
+    row from its 16 formula scalars. ~10 int32 vector ops — noise next
+    to the field math."""
+    t = p - cp[CP_OFF]
+    s2 = cp[CP_S2]
+    u = jnp.where(s2 >= 0, t >> jnp.maximum(s2, 0),
+                  t << jnp.maximum(-s2, 0))
+    inb = t & cp[CP_KM]
+    act = ((t >= 0) & (t < cp[CP_SPAN])
+           & (inb >= cp[CP_ALO]) & (inb < cp[CP_AHI]))
+    sel = jnp.where(((t >> cp[CP_SB]) & 1) == 1, cp[CP_C1], cp[CP_C0])
+    v = (sel + (t & cp[CP_M1]) + (u & cp[CP_M2])
+         + (((u + cp[CP_DD]) ^ cp[CP_XX]) & cp[CP_M3]))
+    dflt = jnp.where(cp[CP_DK] == 0, p, cp[CP_DC])
+    return jnp.where(act, v, dflt)
+
+
+def _mul_rows(spec: FieldSpec, a, b):
+    """(N, L) × (N, L) field product (the D-engine's batch-free muls)."""
+    return _mulss(spec, a[:, :, None], b[:, :, None])[..., 0]
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _run_segment(spec: FieldSpec, pool, sched_xs, x, D, iD,
+                 use_pallas: bool, batch_chunk: int | None):
+    """One segment of a schedule as its own compiled program (see
+    run_schedule). For fold-unfriendly primes the pool arrives already
+    Montgomery-converted. Returns (state, D, invD) so the running
+    diagonals survive segment cuts inside an extend."""
     mont = spec.num_limbs > 1 and spec.fold_terms is None
     pallas_ok = (
         use_pallas
         and spec.num_limbs > 1
         and (mont or sum(d for _, d in spec.fold_terms) < (1 << 10))
     )
+    ops_a, starts, colp, dp, rid = sched_xs[:5]
+    bank = sched_xs[5]
+    A = bank.shape[1]
+    P = pool.shape[0]
+    bsx = D.shape[0]
+    one_row = pool[1:2]
+    zero_row = pool[0:1]
 
-    scalars = sched_xs[:6]
-    a_bank, g1_bank, b_bank, g2_bank = sched_xs[6:]
-    A = g2_bank.shape[1]
+    def body(carry, inp):
+        state, D, iD = carry
+        op_t, start, cps, dps, rids = inp
+        q = jnp.arange(A, dtype=jnp.int32)
+        p = start + q
 
-    def body(state, inp):
-        op_t, start, fa, fg1, fb, fg2 = inp
-        a_i = jnp.take(a_bank, fa, axis=0)
-        g1 = jnp.take(g1_bank, fg1, axis=0)
-        b_i = jnp.take(b_bank, fb, axis=0)
-        g2 = jnp.take(g2_bank, fg2, axis=0)
-        x2 = jnp.take(state, g2, axis=0)
+        def col(ci):
+            v = _synth_jnp(cps[ci], p)
+            r = rids[ci]
+            brow = jnp.take(bank, jnp.maximum(r, 0), axis=0)
+            return jnp.where(r >= 0, brow, v)
 
-        def affine(_):
-            x1 = jnp.take(state, g1, axis=0)
+        a_i, g1, b_i, g2 = col(0), col(1), col(2), col(3)
+        x2 = jnp.take(state, jnp.clip(g2, 0, state.shape[0] - 1), axis=0)
+
+        # ---- running-diagonal coefficient engine (batch-free) ----
+        r = jnp.arange(bsx, dtype=jnp.int32)
+        bitv = ((r >> dps[DP_SHALF]) & 1) == 1
+        io = r & dps[DP_HM]
+
+        def plane(b0, b1):
+            idx = jnp.clip(jnp.where(bitv, b1, b0) + io, 0, P - 1)
+            return jnp.take(pool, idx, axis=0)
+
+        Ms = plane(dps[DP_MS0], dps[DP_MS1])
+        Mp = plane(dps[DP_MP0], dps[DP_MP1])
+        Msi = plane(dps[DP_MSI0], dps[DP_MSI1])
+        perm = jnp.clip(r ^ dps[DP_HALF], 0, bsx - 1)
+        Dp = jnp.take(D, perm, axis=0)
+        dop = dps[DP_DOP]
+        is0 = dop == DOP_LEVEL0
+        isl = dop == DOP_LEVEL
+        isf = dop == DOP_FINAL
+        ratio = _mul_rows(spec, Mp, Msi)
+        CB = jnp.where(is0, ratio,
+                       _mul_rows(spec, _mul_rows(spec, ratio, Dp), iD))
+        CB = jnp.where(isf, _mul_rows(spec, Mp, Dp), CB)
+        CA = _mul_rows(spec, Ms, D)
+        D = jnp.where(is0, Ms, jnp.where(isl, _mul_rows(spec, Ms, D), D))
+        iD = jnp.where(is0, Msi,
+                       jnp.where(isl, _mul_rows(spec, Msi, iD), iD))
+        # scratch row 0 = the passthrough constants (one for A, zero
+        # for B/C); emitters index coefficients at 1 + r
+        CAx = jnp.concatenate([one_row, CA], axis=0)
+        CBx = jnp.concatenate([zero_row, CB], axis=0)
+
+        def take_c(tab, idx):
+            return jnp.take(tab, jnp.clip(idx, 0, bsx), axis=0)
+
+        def aff2_with(Ac, Bc, x1):
             if pallas_ok:
                 from ecfft_tpu.ops.pallas_step import pallas_muladd2
 
-                Ac = jnp.take(pool, a_i, axis=0)  # (A, L)
-                Bc = jnp.take(pool, b_i, axis=0)
                 return pallas_muladd2(spec, Ac, Bc, x1, x2)
-            Ac = jnp.take(pool, a_i, axis=0)[:, :, None]  # (A, L, 1)
-            Bc = jnp.take(pool, b_i, axis=0)[:, :, None]
-            return _muladd2_cols(spec, Ac, x1, Bc, x2)
+            return _muladd2_cols(spec, Ac[:, :, None], x1,
+                                 Bc[:, :, None], x2)
 
-        def mul(_):
-            x1 = jnp.take(state, g1, axis=0)
-            return _mulss(spec, x1, x2)
-
-        def cmpsel(_):
-            x1 = jnp.take(state, g1, axis=0)
-            c1 = jnp.take(state, a_i, axis=0)
-            c2 = jnp.take(state, b_i, axis=0)
-            comp = jnp.all(c1 == c2, axis=(0, 1))  # (B,)
-            return jnp.where(comp[None, None, :], x1, x2)
-
-        def aff1_with(x1):
+        def aff1_with(Cc, x1):
             if pallas_ok:
                 from ecfft_tpu.ops.pallas_step import pallas_muladd1
 
-                Cc = jnp.take(pool, b_i, axis=0)
                 return pallas_muladd1(spec, Cc, x1, x2)
-            Cc = jnp.take(pool, b_i, axis=0)[:, :, None]
-            return _muladd1_cols(spec, Cc, x1, x2)
+            return _muladd1_cols(spec, Cc[:, :, None], x1, x2)
+
+        def gx1(_g1=g1):
+            return jnp.take(state, jnp.clip(_g1, 0, state.shape[0] - 1),
+                            axis=0)
+
+        def slx1():
+            return jax.lax.dynamic_slice(
+                state, (start, 0, 0), (A,) + state.shape[1:])
+
+        def affine(_):
+            return aff2_with(jnp.take(pool, jnp.clip(a_i, 0, P - 1),
+                                      axis=0),
+                             jnp.take(pool, jnp.clip(b_i, 0, P - 1),
+                                      axis=0), gx1())
+
+        def mul(_):
+            return _mulss(spec, gx1(), x2)
+
+        def cmpsel(_):
+            c1 = jnp.take(state, jnp.clip(a_i, 0, state.shape[0] - 1),
+                          axis=0)
+            c2 = jnp.take(state, jnp.clip(b_i, 0, state.shape[0] - 1),
+                          axis=0)
+            comp = jnp.all(c1 == c2, axis=(0, 1))  # (B,)
+            return jnp.where(comp[None, None, :], gx1(), x2)
 
         def aff1(_):
-            return aff1_with(jnp.take(state, g1, axis=0))
+            return aff1_with(jnp.take(pool, jnp.clip(b_i, 0, P - 1),
+                                      axis=0), gx1())
 
         def aff1s(_):
-            x1 = jax.lax.dynamic_slice(
-                state, (start, 0, 0), (A,) + state.shape[1:])
-            return aff1_with(x1)
+            return aff1_with(jnp.take(pool, jnp.clip(b_i, 0, P - 1),
+                                      axis=0), slx1())
 
-        out = jax.lax.switch(op_t, [affine, mul, cmpsel, aff1, aff1s],
-                             None)
+        def aff1s_c(_):
+            return aff1_with(take_c(CBx, b_i), slx1())
+
+        def aff1_c(_):
+            return aff1_with(take_c(CBx, b_i), gx1())
+
+        def affine_c(_):
+            return aff2_with(take_c(CAx, a_i), take_c(CBx, b_i), gx1())
+
+        out = jax.lax.switch(
+            op_t, [affine, mul, cmpsel, aff1, aff1s, aff1s_c, aff1_c,
+                   affine_c], None)
         state = jax.lax.dynamic_update_slice(state, out, (start, 0, 0))
-        return state, None
+        return (state, D, iD), None
 
-    def run_one(xc):
-        out, _ = jax.lax.scan(body, xc, scalars)
-        return out
+    def run_one(args):
+        (st, D0, iD0), _ = jax.lax.scan(
+            body, args, (ops_a, starts, colp, dp, rid))
+        return st, D0, iD0
 
     B = x.shape[-1]
     if batch_chunk is not None and batch_chunk < B and B % batch_chunk == 0:
         xc = x.reshape(*x.shape[:-1], B // batch_chunk, batch_chunk)
         xc = jnp.moveaxis(xc, -2, 0)  # (chunks, W, L, Bc)
-        out = jax.lax.map(run_one, xc)
+        out, Dn, iDn = jax.lax.map(
+            lambda c: run_one((c, D, iD)), xc)
         out = jnp.moveaxis(out, 0, -2).reshape(*x.shape)
-    else:
-        out = run_one(x)
-    return out
+        return out, Dn[0], iDn[0]
+    return run_one((x, D, iD))
 
 
 def to_state(batch_arr, W: int, one_pos: int):
@@ -1329,3 +1682,5 @@ def to_state(batch_arr, W: int, one_pos: int):
 def from_state(state, m: int):
     """(W, L, B) state → (B, m, L) values from the value lane."""
     return jnp.transpose(state[:m], (2, 0, 1))
+
+

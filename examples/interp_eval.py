@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# zstd segfaults on JAX cache entries in long-lived processes; use zlib
+# (must match tests/conftest.py — same cache dir, same format)
+sys.modules["zstandard"] = None
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

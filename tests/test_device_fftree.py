@@ -176,5 +176,8 @@ def test_canonical_mod_scheduled_path(trees):
     assert np.array_equal(np.asarray(fast), np.asarray(slow))
     fast_r = dev.redc_z0(enc)
     assert list(dev.decode(fast_r[0])) == host.redc_z0(vals, host.xnn_s)
+    # canonical redc_z1 mirrors redc_z0 (fftree.rs:272-275)
+    fast_r1 = dev.redc_z1(enc)
+    assert list(dev.decode(fast_r1[0])) == host.redc_z1(vals, host.xnn_s)
     with pytest.raises(TypeError):
         dev.modular_reduce(enc, a)

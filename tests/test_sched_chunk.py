@@ -18,13 +18,13 @@ def test_chunked_matches_unchunked():
     ).astype(np.uint32)
     s = tree._scheds[("enter", 64)]
     full = np.asarray(
-        sch.run_schedule(tree.spec, tree._pool, s.xs, coeffs, 128, 64,
-                         s.W, False, None)
+        sch.run_schedule(tree.spec, tree._pool, s, coeffs, 128, 64,
+                         False, None)
     )
     for chunk in (1, 2, 4):
         part = np.asarray(
-            sch.run_schedule(tree.spec, tree._pool, s.xs, coeffs, 128, 64,
-                             s.W, False, chunk)
+            sch.run_schedule(tree.spec, tree._pool, s, coeffs, 128, 64,
+                             False, chunk)
         )
         assert np.array_equal(full, part), f"chunk={chunk} diverged"
 
