@@ -148,6 +148,13 @@ class F2m:
         # a^(2^m − 2)
         return self.pow(a, self.order - 2)
 
+    def batch_inv(self, vals: list[int]) -> list[int]:
+        """Montgomery's trick over GF(2^m) (zeros stay zero) — the same
+        duck-typed surface as fields.host.FpHost.batch_inv."""
+        from ecfft_tpu.fields.host import batch_inv_field
+
+        return batch_inv_field(self, vals)
+
     def sqrt(self, a: int) -> int:
         """Every element has a unique square root in char 2 (Frobenius is
         a bijection): sqrt(a) = a^(2^(m−1))."""

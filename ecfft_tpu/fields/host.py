@@ -74,6 +74,80 @@ def sqrt_mod(a: int, p: int) -> int | None:
     return r
 
 
+class FpHost:
+    """Prime field F_p as a *field object* with the same duck-typed
+    interface as :class:`ecfft_tpu.fields.binary.F2m` (add/sub/neg/mul/
+    square/pow/inv/batch_inv/characteristic/order).
+
+    The reference's FFTree is generic over any arkworks ``Field``
+    (/root/reference/src/fftree.rs:42, ec.rs:498); the host oracle
+    (ecfft_tpu/host/fftree.py) threads one of these objects through all
+    eight algorithms so the same code runs over F_p AND GF(2^m)."""
+
+    __slots__ = ("p",)
+
+    def __init__(self, p: int):
+        self.p = p
+
+    @property
+    def characteristic(self) -> int:
+        return self.p
+
+    @property
+    def order(self) -> int:
+        return self.p
+
+    def add(self, a: int, b: int) -> int:
+        return (a + b) % self.p
+
+    def sub(self, a: int, b: int) -> int:
+        return (a - b) % self.p
+
+    def neg(self, a: int) -> int:
+        return -a % self.p
+
+    def mul(self, a: int, b: int) -> int:
+        return a * b % self.p
+
+    def square(self, a: int) -> int:
+        return a * a % self.p
+
+    def pow(self, a: int, e: int) -> int:
+        return pow(a, e, self.p)
+
+    def inv(self, a: int) -> int:
+        return inv_mod(a, self.p)
+
+    def batch_inv(self, vals: list[int]) -> list[int]:
+        return batch_inv_mod(vals, self.p)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, FpHost) and other.p == self.p
+
+    def __hash__(self) -> int:
+        return hash(("FpHost", self.p))
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"FpHost({self.p:#x})"
+
+
+def batch_inv_field(F, vals: list[int]) -> list[int]:
+    """Montgomery's batch-inversion trick over any field object (used by
+    field objects that don't special-case it; zeros stay zero)."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = F.mul(prefix[i], v if v != 0 else 1)
+    acc = F.inv(prefix[n])
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        v = vals[i]
+        if v != 0:
+            out[i] = F.mul(acc, prefix[i])
+            acc = F.mul(acc, v)
+    return out
+
+
 def batch_inv_mod(vals: list[int], p: int) -> list[int]:
     """Montgomery's batch-inversion trick (1 inversion + 3n muls).
 

@@ -8,6 +8,14 @@ independent implementation over python ints. The device implementation
 iterative batched layer scans; THIS class keeps the recursive shape because
 on the host, clarity wins and n is small.
 
+FIELD-GENERIC: like the reference's `FFTree<F: Field>` (fftree.rs:42,
+ec.rs:498), the tree is generic over a duck-typed field object F
+(add/sub/neg/mul/square/pow/inv/batch_inv — see fields.host.FpHost for
+F_p and fields.binary.F2m for GF(2^m)); passing a plain prime ``p``
+wraps it in FpHost for backward compatibility. The same code therefore
+builds trees over prime fields AND binary fields — the latter a path the
+reference declares (GoodCurve::Even, ec.rs:28-35) but never exercises.
+
 Structure notes (see SURVEY.md §2.3 invariants):
 - moieties: S0 = even-indexed leaves, S1 = odd-indexed leaves;
   extend(evals, S1) means "input on S0 → values on S1"
@@ -22,31 +30,43 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ecfft_tpu.ec.curve import RationalMap
-from ecfft_tpu.fields.host import batch_inv_mod, inv_mod
+from ecfft_tpu.fields.host import FpHost
 
 S0 = 0  # moiety S0 (even leaf positions)
 S1 = 1  # moiety S1 (odd leaf positions)
 
 
-def _mat2_inv(m: list[list[int]], p: int) -> list[list[int]]:
-    det = (m[0][0] * m[1][1] - m[0][1] * m[1][0]) % p
-    di = inv_mod(det, p)
+def _as_field(p_or_field):
+    """int → FpHost; anything else must already be a field object."""
+    return FpHost(p_or_field) if isinstance(p_or_field, int) else p_or_field
+
+
+def _mat2_inv(m: list[list[int]], F) -> list[list[int]]:
+    det = F.sub(F.mul(m[0][0], m[1][1]), F.mul(m[0][1], m[1][0]))
+    di = F.inv(det)
     return [
-        [m[1][1] * di % p, -m[0][1] * di % p],
-        [-m[1][0] * di % p, m[0][0] * di % p],
+        [F.mul(m[1][1], di), F.neg(F.mul(m[0][1], di))],
+        [F.neg(F.mul(m[1][0], di)), F.mul(m[0][0], di)],
     ]
+
+
+def _evaluate(F, coeffs, x: int) -> int:
+    """Horner evaluation of a low-degree-first coefficient list over F."""
+    acc = 0
+    for c in reversed(list(coeffs)):
+        acc = F.add(F.mul(acc, x), c)
+    return acc
 
 
 @dataclass
 class HostFFTree:
-    p: int
+    F: object  # duck-typed field (FpHost, F2m, ...)
     # f_layers[0] = leaves (size n), f_layers[i] halves each level, up to [root]
     f_layers: list[list[int]]
     # matrix layers: decompose/recombine_layers[i] has n/2^(i+1) 2x2 matrices
     recombine_layers: list[list[list[list[int]]]]
     decompose_layers: list[list[list[list[int]]]]
-    rational_maps: list[RationalMap]
+    rational_maps: list
     subtree: "HostFFTree | None"
     xnn_s: list[int] = field(default_factory=list)
     xnn_s_inv: list[int] = field(default_factory=list)
@@ -57,13 +77,20 @@ class HostFFTree:
     z0z0_rem_xnn_s: list[int] = field(default_factory=list)
     z1z1_rem_xnn_s: list[int] = field(default_factory=list)
 
+    @property
+    def p(self) -> int:
+        """Field characteristic (prime-field trees: the modulus)."""
+        return self.F.characteristic
+
     # ---------------------------------------------------------------- build
 
     @classmethod
-    def build(cls, leaves: list[int], rational_maps: list[RationalMap],
-              p: int) -> "HostFFTree":
+    def build(cls, leaves: list[int], rational_maps: list,
+              p) -> "HostFFTree":
         """FFTree::new (fftree.rs:42-70): fill internal domain layers by
-        applying rational map i to layer i, then run the bootstrap."""
+        applying rational map i to layer i, then run the bootstrap.
+        ``p``: a prime modulus or a field object."""
+        F = _as_field(p)
         n = len(leaves)
         assert n & (n - 1) == 0
         log_n = n.bit_length() - 1
@@ -80,22 +107,23 @@ class HostFFTree:
                 assert v == rmap(prev[j + half])
                 layer.append(v)
             f_layers.append(layer)
-        return cls.from_layers(f_layers, rational_maps, p)
+        return cls.from_layers(f_layers, rational_maps, F)
 
     @classmethod
     def from_layers(cls, f_layers: list[list[int]],
-                    rational_maps: list[RationalMap], p: int) -> "HostFFTree":
+                    rational_maps: list, p) -> "HostFFTree":
         """from_tree (fftree.rs:318-463)."""
+        F = _as_field(p)
         n = len(f_layers[0])
-        subtree = cls._derive_subtree(f_layers, rational_maps, p)
+        subtree = cls._derive_subtree(f_layers, rational_maps, F)
         s = f_layers[0]
         nn = n // 2
         nnnn = n // 4
 
-        xnnnn_s = [pow(x, nnnn, p) for x in s]
-        xnnnn_s_inv = batch_inv_mod(xnnnn_s, p)
-        xnn_s = [pow(x, nn, p) for x in s]
-        xnn_s_inv = batch_inv_mod(xnn_s, p)
+        xnnnn_s = [F.pow(x, nnnn) for x in s]
+        xnnnn_s_inv = F.batch_inv(xnnnn_s)
+        xnn_s = [F.pow(x, nn) for x in s]
+        xnn_s_inv = F.batch_inv(xnn_s)
 
         s0 = s[0::2]
         s1 = s[1::2]
@@ -114,20 +142,18 @@ class HostFFTree:
             if d == 1:
                 continue  # identity matrices at the 2-wide layer
             v = list(rmap.denominator)
-            from ecfft_tpu.utils.poly import evaluate
-
             e = d // 2 - 1
             for i in range(d):
                 sa = layer[i]
                 sb = layer[i + d]
-                v0 = pow(evaluate(v, sa, p), e, p)
-                v1 = pow(evaluate(v, sb, p), e, p)
-                rmat = [[v0, sa * v0 % p], [v1, sb * v1 % p]]
+                v0 = F.pow(_evaluate(F, v, sa), e)
+                v1 = F.pow(_evaluate(F, v, sb), e)
+                rmat = [[v0, F.mul(sa, v0)], [v1, F.mul(sb, v1)]]
                 recombine_layers[li][i] = rmat
-                decompose_layers[li][i] = _mat2_inv(rmat, p)
+                decompose_layers[li][i] = _mat2_inv(rmat, F)
 
         tree = cls(
-            p=p,
+            F=F,
             f_layers=f_layers,
             recombine_layers=recombine_layers,
             decompose_layers=decompose_layers,
@@ -144,21 +170,22 @@ class HostFFTree:
             st_z1_s0 = [y for z in st.z1_s0 for y in (z, 0)]
             st_z0_s1 = tree.extend(st_z0_s0, S1)
             st_z1_s1 = tree.extend(st_z1_s0, S1)
-            tree.z0_s1 = [a * b % p for a, b in zip(st_z0_s1, st_z1_s1)]
+            tree.z0_s1 = [F.mul(a, b) for a, b in zip(st_z0_s1, st_z1_s1)]
             z1_s = tree.vanish(s1)
             tree.z1_s0 = z1_s[0::2]
         elif n == 2:
-            tree.z0_s1 = [(s1[0] - s0[0]) % p]
-            tree.z1_s0 = [(s0[0] - s1[0]) % p]
+            tree.z0_s1 = [F.sub(s1[0], s0[0])]
+            tree.z1_s0 = [F.sub(s0[0], s1[0])]
 
-        tree.z0_inv_s1 = batch_inv_mod(tree.z0_s1, p)
-        tree.z1_inv_s0 = batch_inv_mod(tree.z1_s0, p)
+        tree.z0_inv_s1 = F.batch_inv(tree.z0_s1)
+        tree.z1_inv_s0 = F.batch_inv(tree.z1_s0)
 
         if n > 2:
             st = tree.subtree
             # z0z0_rem_xnn_s in O(n log n) (fftree.rs:419-446)
             z0_rem_xnnnn_sq_s0 = [
-                a * b % p for a, b in zip(st.z0z0_rem_xnn_s, st.z1z1_rem_xnn_s)
+                F.mul(a, b)
+                for a, b in zip(st.z0z0_rem_xnn_s, st.z1z1_rem_xnn_s)
             ]
             z0z0_rem_xnnnn_s0 = st.modular_reduce(
                 z0_rem_xnnnn_sq_s0, st.xnn_s, st.z0z0_rem_xnn_s
@@ -169,10 +196,10 @@ class HostFFTree:
             ]
             z0_s = [y for z in tree.z0_s1 for y in (0, z)]
             z0_rem_xnn_sq_s = [
-                (z0 - xnn) ** 2 % p for z0, xnn in zip(z0_s, tree.xnn_s)
+                F.square(F.sub(z0, xnn)) for z0, xnn in zip(z0_s, tree.xnn_s)
             ]
             z0_rem_xnn_sq_div_xnnnn_s = [
-                (sq - rem) * xi % p
+                F.mul(F.sub(sq, rem), xi)
                 for sq, rem, xi in zip(
                     z0_rem_xnn_sq_s, z0z0_rem_xnnnn_s, xnnnn_s_inv
                 )
@@ -181,32 +208,34 @@ class HostFFTree:
                 z0_rem_xnn_sq_div_xnnnn_s, xnnnn_s, z0z0_rem_xnnnn_s
             )
             tree.z0z0_rem_xnn_s = [
-                (lo + x * hi) % p
+                F.add(lo, F.mul(x, hi))
                 for lo, hi, x in zip(
                     z0z0_rem_xnnnn_s, z0z0_div_xnnnn_rem_xnnnn_s, xnnnn_s
                 )
             ]
             # z1z1_rem_xnn_s (fftree.rs:448-452)
             z1_s = [y for z in tree.z1_s0 for y in (z, 0)]
-            z1z1 = [(z1 - xnn) ** 2 % p for z1, xnn in zip(z1_s, tree.xnn_s)]
+            z1z1 = [
+                F.square(F.sub(z1, xnn)) for z1, xnn in zip(z1_s, tree.xnn_s)
+            ]
             tree.z1z1_rem_xnn_s = tree.modular_reduce(
                 z1z1, tree.xnn_s, tree.z0z0_rem_xnn_s
             )
         elif n == 2:
-            tree.z0z0_rem_xnn_s = [s0[0] * s0[0] % p] * 2
-            tree.z1z1_rem_xnn_s = [s1[0] * s1[0] % p] * 2
+            tree.z0z0_rem_xnn_s = [F.square(s0[0])] * 2
+            tree.z1z1_rem_xnn_s = [F.square(s1[0])] * 2
 
         return tree
 
     @classmethod
-    def _derive_subtree(cls, f_layers, rational_maps, p) -> "HostFFTree | None":
+    def _derive_subtree(cls, f_layers, rational_maps, F) -> "HostFFTree | None":
         """Even-indexed entries of every layer; drop the last rational map
         (fftree.rs:465-482)."""
         n = len(f_layers[0]) // 2
         if n == 0:
             return None
         sub_layers = [layer[0::2] for layer in f_layers[:-1]]
-        return cls.from_layers(sub_layers, rational_maps[:-1], p)
+        return cls.from_layers(sub_layers, rational_maps[:-1], F)
 
     # ------------------------------------------------------------ accessors
 
@@ -232,7 +261,7 @@ class HostFFTree:
     def _extend_impl(self, evals: list[int], moiety: int) -> list[int]:
         """EXTEND core (fftree.rs:72-120): decompose through the layer's
         2x2 matrices, recurse at half size, recombine."""
-        p = self.p
+        F = self.F
         n = len(evals)
         if n == 1:
             return list(evals)
@@ -249,8 +278,8 @@ class HostFFTree:
         for i in range(half):
             m = dec[skip + 2 * i]
             a, b = evals[i], evals[i + half]
-            evals0[i] = (m[0][0] * a + m[0][1] * b) % p
-            evals1[i] = (m[1][0] * a + m[1][1] * b) % p
+            evals0[i] = F.add(F.mul(m[0][0], a), F.mul(m[0][1], b))
+            evals1[i] = F.add(F.mul(m[1][0], a), F.mul(m[1][1], b))
 
         e0p = self._extend_impl(evals0, moiety)
         e1p = self._extend_impl(evals1, moiety)
@@ -261,8 +290,8 @@ class HostFFTree:
         for i in range(half):
             m = rec[skip + 2 * i]
             a, b = e0p[i], e1p[i]
-            res[i] = (m[0][0] * a + m[0][1] * b) % p
-            res[i + half] = (m[1][0] * a + m[1][1] * b) % p
+            res[i] = F.add(F.mul(m[0][0], a), F.mul(m[0][1], b))
+            res[i + half] = F.add(F.mul(m[1][0], a), F.mul(m[1][1], b))
         return res
 
     def extend(self, evals: list[int], moiety: int) -> list[int]:
@@ -272,7 +301,7 @@ class HostFFTree:
     def _mextend_impl(self, evals: list[int], moiety: int) -> list[int]:
         e = self._extend_impl(evals, moiety)
         z = self.z0_s1 if moiety == S1 else self.z1_s0
-        return [(a + b) % self.p for a, b in zip(e, z)]
+        return [self.F.add(a, b) for a, b in zip(e, z)]
 
     def mextend(self, evals: list[int], moiety: int) -> list[int]:
         """EXTEND for monic polys of degree exactly n/2 (fftree.rs:128-141)."""
@@ -280,7 +309,7 @@ class HostFFTree:
 
     def _enter_impl(self, coeffs: list[int]) -> list[int]:
         """ENTER (fft): coeffs → evals (fftree.rs:143-161)."""
-        p = self.p
+        F = self.F
         n = len(coeffs)
         if n == 1:
             return list(coeffs)
@@ -291,8 +320,8 @@ class HostFFTree:
         v1 = self.extend(v0, S1)
         res = []
         for i in range(n // 2):
-            res.append((u0[i] + v0[i] * self.xnn_s[2 * i]) % p)
-            res.append((u1[i] + v1[i] * self.xnn_s[2 * i + 1]) % p)
+            res.append(F.add(u0[i], F.mul(v0[i], self.xnn_s[2 * i])))
+            res.append(F.add(u1[i], F.mul(v1[i], self.xnn_s[2 * i + 1])))
         return res
 
     def enter(self, coeffs: list[int]) -> list[int]:
@@ -300,7 +329,7 @@ class HostFFTree:
 
     def _degree_impl(self, evals: list[int]) -> int:
         """DEGREE (fftree.rs:169-192)."""
-        p = self.p
+        F = self.F
         n = len(evals)
         if n == 1:
             return 0
@@ -310,7 +339,10 @@ class HostFFTree:
         g1 = self._extend_impl(e0, S1)
         if g1 == e1:
             return st._degree_impl(e0)
-        t1 = [(b - g) * zi % p for b, g, zi in zip(e1, g1, self.z0_inv_s1)]
+        t1 = [
+            F.mul(F.sub(b, g), zi)
+            for b, g, zi in zip(e1, g1, self.z0_inv_s1)
+        ]
         t0 = self._extend_impl(t1, S0)
         return n // 2 + st._degree_impl(t0)
 
@@ -319,7 +351,7 @@ class HostFFTree:
 
     def _exit_impl(self, evals: list[int]) -> list[int]:
         """EXIT (ifft): evals → coeffs (fftree.rs:200-224)."""
-        p = self.p
+        F = self.F
         n = len(evals)
         if n == 1:
             return list(evals)
@@ -329,7 +361,7 @@ class HostFFTree:
         st = self.subtree
         a = st._exit_impl(u0)
         v0 = [
-            (e - u) * xi % p
+            F.mul(F.sub(e, u), xi)
             for e, u, xi in zip(evals[0::2], u0, self.xnn_s_inv[0::2])
         ]
         b = st._exit_impl(v0)
@@ -340,15 +372,16 @@ class HostFFTree:
 
     def _redc_impl(self, evals: list[int], a: list[int], moiety: int) -> list[int]:
         """Polynomial Montgomery REDC: <P·Z⁻¹ mod a ≀ S> (fftree.rs:232-259)."""
-        p = self.p
+        F = self.F
         e0, e1 = evals[0::2], evals[1::2]
         a0, a1 = a[0::2], a[1::2]
-        a0_inv = batch_inv_mod(a0, p)
-        t0 = [e * ai % p for e, ai in zip(e0, a0_inv)]
+        a0_inv = F.batch_inv(a0)
+        t0 = [F.mul(e, ai) for e, ai in zip(e0, a0_inv)]
         g1 = self._extend_impl(t0, S0 if moiety == S1 else S1)
         z_inv = self.z0_inv_s1 if moiety == S0 else self.z1_inv_s0
         h1 = [
-            (e - g * av) * zi % p for e, g, av, zi in zip(e1, g1, a1, z_inv)
+            F.mul(F.sub(e, F.mul(g, av)), zi)
+            for e, g, av, zi in zip(e1, g1, a1, z_inv)
         ]
         h0 = self._extend_impl(h1, moiety)
         return [y for hh in zip(h0, h1) for y in hh]
@@ -362,7 +395,7 @@ class HostFFTree:
     def _modular_reduce_impl(self, evals, a, c) -> list[int]:
         """MOD = REDC ∘ (·c) ∘ REDC (fftree.rs:277-281)."""
         h = self._redc_impl(evals, a, S0)
-        hc = [x * y % self.p for x, y in zip(h, c)]
+        hc = [self.F.mul(x, y) for x, y in zip(h, c)]
         return self._redc_impl(hc, a, S0)
 
     def modular_reduce(self, evals, a, c) -> list[int]:
@@ -371,17 +404,17 @@ class HostFFTree:
     def _vanish_impl(self, domain: list[int]) -> list[int]:
         """VANISH: eval of Z(x)=∏(x−aᵢ) over S (fftree.rs:291-308,
         ECFFT-I §7.1 product tree)."""
-        p = self.p
+        F = self.F
         n = len(domain)
         if n == 1:
             leaves = self.f_layers[0]
             assert len(leaves) == 2
             alpha = domain[0]
-            return [(alpha - leaves[0]) % p, (alpha - leaves[1]) % p]
+            return [F.sub(alpha, leaves[0]), F.sub(alpha, leaves[1])]
         st = self.subtree
         qp = st._vanish_impl(domain[: n // 2])
         qpp = st._vanish_impl(domain[n // 2 :])
-        q_s0 = [a * b % p for a, b in zip(qp, qpp)]
+        q_s0 = [F.mul(a, b) for a, b in zip(qp, qpp)]
         q_s1 = self.mextend(q_s0, S1)
         return [y for q in zip(q_s0, q_s1) for y in q]
 
@@ -399,3 +432,55 @@ def build_host_fftree(field_name: str, n: int) -> HostFFTree | None:
         return None
     leaves, maps = dom
     return HostFFTree.build(leaves, maps, spec.p)
+
+
+def build_host_fftree_even(field, n: int) -> HostFFTree | None:
+    """FFTree over a binary field GF(2^m) — the reference's
+    `GoodCurve::Even` capability (ec.rs:28-35,63-73) taken all the way to
+    a working FFTree, which the reference itself never does.
+
+    Domain: a coset of the order-n cyclic 2-Sylow subgroup generated by
+    walking ``offset + i·generator`` (lib.rs:72-79's pattern); maps: the
+    x-coordinate rational maps of the even closed-form isogeny chain.
+    Returns None when no suitable generator exists (lib.rs:62-64).
+    """
+    from ecfft_tpu.ec.binary import (
+        GoodCurveEven,
+        curve_points,
+        find_isogeny_chain_even,
+    )
+    from ecfft_tpu.ec.curve import two_adicity
+
+    assert n & (n - 1) == 0 and n >= 2
+    log_n = n.bit_length() - 1
+    # find a curve point of maximal 2-adicity to act as subgroup generator.
+    # The coset offset needs adicity ≥ log n + 2: with a cyclic 2-Sylow
+    # that guarantees 2·offset ∉ <g>, so the coset offset + <g> contains
+    # no ±-pairs and all leaf x-coordinates are distinct (the analogue of
+    # the reference's coset-offset choice, lib.rs:45-59).
+    best, best_k = None, 0
+    for b in range(1, field.order):
+        curve = GoodCurveEven.new_even(field, b)
+        for pt in curve_points(curve):
+            k = two_adicity(pt)
+            if k is not None and k > best_k:
+                best, best_k = pt, k
+        if best_k >= log_n + 2:
+            break
+    if best is None or best_k < log_n + 2:
+        return None  # subgroup two-adicity insufficient (lib.rs:62-64)
+    # halve down so the generator's order is exactly n
+    g = best
+    for _ in range(best_k - log_n):
+        g = g.double()
+    offset = best
+    acc = offset
+    leaves = []
+    for _ in range(n):
+        leaves.append(acc.x)
+        acc = acc + g
+    assert len(set(leaves)) == n, "coset x-coordinates must be distinct"
+    chain = find_isogeny_chain_even(g)
+    assert len(chain) == log_n
+    maps = [iso.r for iso in chain]
+    return HostFFTree.build(leaves, maps, field)
