@@ -83,6 +83,9 @@ def lib() -> ctypes.CDLL:
                                         ctypes.c_uint64, ctypes.c_uint64,
                                         ctypes.c_char_p, ctypes.c_char_p,
                                         ctypes.c_char_p, ctypes.c_char_p]
+        _lib.ecn_schoof_trace.restype = ctypes.c_int64
+        _lib.ecn_schoof_trace.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                          ctypes.c_char_p, ctypes.c_uint32]
     return _lib
 
 
@@ -331,3 +334,20 @@ def find_curve_native(p: int, k: int, seed: int = 1,
         return None
     a, bb, x, y = (int.from_bytes(b.raw, "little") for b in bufs)
     return int(n), a, bb, x, y
+
+
+def schoof_trace_native(p: int, a: int, b: int, ell: int) -> int:
+    """Frobenius trace t mod ell of y² = x³ + ax + b over F_p, computed
+    by the native engine's endomorphism arithmetic in F_p[x]/ψ_ℓ
+    (schoofs.rs:76-138; ℓ=2 parity test schoofs.rs:345-366). 4×64
+    Montgomery field ops make this practical far beyond the pure-python
+    path's ~64-bit ceiling (see ecfft_tpu.schoof.cardinality_native)."""
+    t = lib().ecn_schoof_trace(
+        p.to_bytes(32, "little"),
+        (a % p).to_bytes(32, "little"),
+        (b % p).to_bytes(32, "little"),
+        ell,
+    )
+    if t < 0:
+        raise ArithmeticError(f"native schoof trace failed for l={ell}")
+    return int(t)

@@ -19,10 +19,13 @@ Key structures:
 ℓ = 2 is the parity test gcd(x^p − x, x³ + Ax + B) ≠ 1 ⇔ even order
 (schoofs.rs:345-366).
 
-Practical scope: python-int polynomial arithmetic makes this practical
-for ≤ 64-bit fields (the m31 cases the reference exercises — whose own
-example admits a wrong m31 answer, schoofs.rs:29, which this module gets
-right). 256-bit Schoof is out of scope for the pure-python path.
+Practical scope: python-int polynomial arithmetic makes `cardinality`
+practical for ≤ 64-bit fields (the m31 cases the reference exercises —
+whose own example admits a wrong m31 answer, schoofs.rs:29, which this
+module gets right). `cardinality_native` moves the per-ℓ trace math to
+the native C++ engine (ecn_schoof_trace), counting fresh ~2^61-scale
+primes in seconds; 256-bit counts are reachable but hours-scale (ψ_ℓ
+degrees grow to ~8400 with schoolbook ring arithmetic).
 """
 
 from __future__ import annotations
@@ -264,6 +267,35 @@ def cardinality(curve: ShortWeierstrass) -> int:
         t_mod = (t_mod + m * ((t_ell - t_mod) * inv_m % ell)) % (m * ell)
         m *= ell
     # |t| ≤ 2√p: center the residue
+    if t_mod > m // 2:
+        t_mod -= m
+    return p + 1 - t_mod
+
+
+def cardinality_native(curve: ShortWeierstrass) -> int:
+    """#E(F_p) with the per-ℓ Frobenius traces computed by the native
+    C++ engine (4×64 Montgomery — native/ecfft_native.cpp
+    ``ecn_schoof_trace``) and the big-integer CRT kept in Python
+    (schoofs.rs:55-62). This pushes Schoof well past the pure-python
+    path's ~64-bit practicality ceiling: a fresh 2^61-scale prime counts
+    in seconds. 256-bit primes need ℓ up to ~130 (ψ_ℓ degree ~8400,
+    schoolbook O(deg²) ring mults) — reachable but hours-scale; the
+    reference's own example is m31-only and admits a wrong answer there
+    (schoofs.rs:29)."""
+    from ecfft_tpu.native import schoof_trace_native
+
+    p = curve.p
+    bound = 4 * math.isqrt(p) + 4
+    t_mod, m = 0, 1
+    prime_iter = iter(SMALL_PRIMES)
+    while m <= bound:
+        ell = next(prime_iter)
+        if p % ell == 0:
+            continue
+        t_ell = schoof_trace_native(p, curve.a, curve.b, ell)
+        inv_m = pow(m, -1, ell)
+        t_mod = (t_mod + m * ((t_ell - t_mod) * inv_m % ell)) % (m * ell)
+        m *= ell
     if t_mod > m // 2:
         t_mod -= m
     return p + 1 - t_mod

@@ -897,6 +897,431 @@ static int fc_cyclic_sylow(const FieldCtx &F, Fe &gen_x, const Fe &a,
   return k;
 }
 
+// --------------------------------------------------------------- Schoof
+//
+// Native point counting (the hot math of /root/reference/examples/
+// schoofs.rs:30-138): per small prime l this computes the Frobenius
+// trace t mod l by endomorphism arithmetic in F_p[x]/(psi_l); the
+// big-integer CRT accumulation (schoofs.rs:55-62) stays in Python where
+// arbitrary-precision ints are free. Polynomials are low-degree-first
+// vectors of Montgomery-form field elements.
+
+typedef std::vector<Fe> Poly;
+
+static void ptrim(Poly &f) {
+  while (!f.empty() && fe_is_zero(f.back())) f.pop_back();
+}
+
+static int pdeg(const Poly &f) { return (int)f.size() - 1; }
+
+static Poly padd(const FieldCtx &F, const Poly &a, const Poly &b) {
+  Poly r(std::max(a.size(), b.size()));
+  for (size_t i = 0; i < r.size(); ++i) {
+    Fe x, y;
+    std::memset(x.v, 0, sizeof(Fe));
+    std::memset(y.v, 0, sizeof(Fe));
+    if (i < a.size()) x = a[i];
+    if (i < b.size()) y = b[i];
+    fe_add(F, r[i], x, y);
+  }
+  ptrim(r);
+  return r;
+}
+
+static Poly psub(const FieldCtx &F, const Poly &a, const Poly &b) {
+  Poly r(std::max(a.size(), b.size()));
+  for (size_t i = 0; i < r.size(); ++i) {
+    Fe x, y;
+    std::memset(x.v, 0, sizeof(Fe));
+    std::memset(y.v, 0, sizeof(Fe));
+    if (i < a.size()) x = a[i];
+    if (i < b.size()) y = b[i];
+    fe_sub(F, r[i], x, y);
+  }
+  ptrim(r);
+  return r;
+}
+
+static Poly pmul(const FieldCtx &F, const Poly &a, const Poly &b) {
+  if (a.empty() || b.empty()) return {};
+  Poly r(a.size() + b.size() - 1);
+  for (auto &c : r) std::memset(c.v, 0, sizeof(Fe));
+  for (size_t i = 0; i < a.size(); ++i) {
+    if (fe_is_zero(a[i])) continue;
+    for (size_t j = 0; j < b.size(); ++j) {
+      Fe t;
+      fe_mul(F, t, a[i], b[j]);
+      fe_add(F, r[i + j], r[i + j], t);
+    }
+  }
+  ptrim(r);
+  return r;
+}
+
+static Poly pscale(const FieldCtx &F, const Poly &a, const Fe &c) {
+  Poly r(a.size());
+  for (size_t i = 0; i < a.size(); ++i) fe_mul(F, r[i], a[i], c);
+  ptrim(r);
+  return r;
+}
+
+// r = a mod b (b nonzero); quotient discarded
+static Poly pmod(const FieldCtx &F, const Poly &a, const Poly &b) {
+  Poly r = a;
+  ptrim(r);
+  int db = pdeg(b);
+  Fe lead_inv;
+  fe_inv(F, lead_inv, b[db]);
+  while (pdeg(r) >= db) {
+    int k = pdeg(r) - db;
+    Fe q;
+    fe_mul(F, q, r.back(), lead_inv);
+    for (int i = 0; i <= db; ++i) {
+      Fe t;
+      fe_mul(F, t, q, b[i]);
+      fe_sub(F, r[i + k], r[i + k], t);
+    }
+    ptrim(r);
+  }
+  return r;
+}
+
+static Poly pgcd(const FieldCtx &F, Poly a, Poly b) {
+  ptrim(a);
+  ptrim(b);
+  while (!b.empty()) {
+    Poly r = pmod(F, a, b);
+    a = b;
+    b = r;
+  }
+  if (!a.empty()) {  // monic-normalize
+    Fe li;
+    fe_inv(F, li, a.back());
+    a = pscale(F, a, li);
+  }
+  return a;
+}
+
+// extended euclid: returns (s, g) with s*f = g (mod m), g monic.
+// ring inverse when deg g == 0 (then g == 1 and s = f^-1); otherwise g
+// is a discovered factor of the modulus (schoofs.rs:115-128).
+static void pxgcd(const FieldCtx &F, const Poly &f, const Poly &m,
+                  Poly &s_out, Poly &g_out) {
+  Poly r0 = m, r1 = f;
+  Poly s0 = {}, s1 = {F.one_m};
+  ptrim(r0);
+  ptrim(r1);
+  while (!r1.empty()) {
+    // divide r0 by r1: track quotient to update s
+    int db = pdeg(r1);
+    Fe lead_inv;
+    fe_inv(F, lead_inv, r1[db]);
+    Poly r = r0;
+    Poly q(std::max(pdeg(r0) - db + 1, 0));
+    for (auto &c : q) std::memset(c.v, 0, sizeof(Fe));
+    while (pdeg(r) >= db) {
+      int k = pdeg(r) - db;
+      Fe qc;
+      fe_mul(F, qc, r.back(), lead_inv);
+      fe_add(F, q[k], q[k], qc);
+      for (int i = 0; i <= db; ++i) {
+        Fe t;
+        fe_mul(F, t, qc, r1[i]);
+        fe_sub(F, r[i + k], r[i + k], t);
+      }
+      ptrim(r);
+    }
+    ptrim(q);
+    Poly s2 = psub(F, s0, pmul(F, q, s1));
+    r0 = r1;
+    r1 = r;
+    s0 = s1;
+    s1 = s2;
+  }
+  Fe li;
+  fe_inv(F, li, r0.back());
+  g_out = pscale(F, r0, li);
+  s_out = pscale(F, s0, li);
+}
+
+// f^e mod m, e a 256-bit little-endian exponent
+static Poly ppowmod(const FieldCtx &F, const Poly &f, const Fe &e,
+                    const Poly &m) {
+  int top = -1;
+  for (int i = NL * 64 - 1; i >= 0; --i)
+    if ((e.v[i / 64] >> (i % 64)) & 1) { top = i; break; }
+  Poly res = {F.one_m};
+  if (top < 0) return pmod(F, res, m);
+  Poly acc = pmod(F, f, m);
+  for (int i = 0; i <= top; ++i) {
+    if ((e.v[i / 64] >> (i % 64)) & 1) res = pmod(F, pmul(F, res, acc), m);
+    if (i < top) acc = pmod(F, pmul(F, acc, acc), m);
+  }
+  return res;
+}
+
+static Fe fe_small(const FieldCtx &F, u64 v) {
+  Fe t;
+  std::memset(t.v, 0, sizeof(Fe));
+  t.v[0] = v;
+  Fe m;
+  to_mont(F, m, t);
+  return m;
+}
+
+// x-only division polynomials f_1..f_lmax with the parity convention of
+// ecfft_tpu/schoof.py (odd n: psi_n = f_n; even n: psi_n = y*f_n),
+// every y^2 replaced by Fc = x^3 + Ax + B (schoofs.rs:370-431)
+static std::vector<Poly> division_polys(const FieldCtx &F, const Fe &A,
+                                        const Fe &B, int lmax) {
+  Poly Fc = {B, A, fe_small(F, 0), F.one_m};
+  ptrim(Fc);
+  Poly FF = pmul(F, Fc, Fc);
+  std::vector<Poly> f(std::max(lmax + 1, 5));
+  f[0] = {};
+  f[1] = {F.one_m};
+  f[2] = {fe_small(F, 2)};
+  {
+    // psi3 = 3x^4 + 6Ax^2 + 12Bx - A^2
+    Fe a2, t;
+    fe_mul(F, a2, A, A);
+    Poly p3(5);
+    fe_neg(F, p3[0], a2);
+    fe_mul(F, p3[1], fe_small(F, 12), B);
+    fe_mul(F, p3[2], fe_small(F, 6), A);
+    std::memset(p3[3].v, 0, sizeof(Fe));
+    p3[4] = fe_small(F, 3);
+    (void)t;
+    f[3] = p3;
+  }
+  {
+    // psi4 = y*4*(x^6 + 5Ax^4 + 20Bx^3 - 5A^2x^2 - 4ABx - 8B^2 - A^3)
+    Fe a2, a3, b2, t;
+    fe_mul(F, a2, A, A);
+    fe_mul(F, a3, a2, A);
+    fe_mul(F, b2, B, B);
+    Poly p4(7);
+    fe_mul(F, t, fe_small(F, 8), b2);
+    fe_add(F, t, t, a3);
+    fe_neg(F, t, t);
+    fe_mul(F, p4[0], fe_small(F, 4), t);
+    fe_mul(F, t, A, B);
+    fe_mul(F, t, t, fe_small(F, 4));
+    fe_neg(F, t, t);
+    fe_mul(F, p4[1], fe_small(F, 4), t);
+    fe_mul(F, t, fe_small(F, 5), a2);
+    fe_neg(F, t, t);
+    fe_mul(F, p4[2], fe_small(F, 4), t);
+    fe_mul(F, p4[3], fe_small(F, 80), B);
+    fe_mul(F, p4[4], fe_small(F, 20), A);
+    std::memset(p4[5].v, 0, sizeof(Fe));
+    p4[6] = fe_small(F, 4);
+    f[4] = p4;
+  }
+  Fe half;
+  fe_inv(F, half, fe_small(F, 2));
+  for (int n = 5; n <= lmax; ++n) {
+    int m = n / 2;
+    if (n % 2 == 1) {
+      Poly m3 = pmul(F, f[m], pmul(F, f[m], f[m]));
+      Poly a = pmul(F, f[m + 2], m3);
+      Poly p13 = pmul(F, f[m + 1], pmul(F, f[m + 1], f[m + 1]));
+      Poly b = pmul(F, f[m - 1], p13);
+      if (m % 2 == 1)
+        f[n] = psub(F, a, pmul(F, b, FF));
+      else
+        f[n] = psub(F, pmul(F, a, FF), b);
+    } else {
+      Poly a = pmul(F, f[m + 2], pmul(F, f[m - 1], f[m - 1]));
+      Poly b = pmul(F, f[m - 2], pmul(F, f[m + 1], f[m + 1]));
+      Poly inner = psub(F, a, b);
+      f[n] = pscale(F, pmul(F, f[m], inner), half);
+    }
+  }
+  return f;
+}
+
+// endomorphism (a(x), y*b(x)) in F_p[x]/(mod) (schoofs.rs:142-273);
+// `inf` marks the zero endomorphism. Factor discovery aborts the
+// computation: `factor` is set and callers restart on the new modulus.
+struct SEndo {
+  Poly a, b;
+  bool inf;
+};
+
+struct SchoofCtx {
+  const FieldCtx *F;
+  Poly modulus;
+  Poly Fc;  // x^3 + Ax + B
+  Poly factor;  // non-empty => restart with this modulus factor
+  bool failed;
+};
+
+static Poly sred(SchoofCtx &C, const Poly &f) {
+  return pmod(*C.F, f, C.modulus);
+}
+
+static bool sinv(SchoofCtx &C, const Poly &f, Poly &out) {
+  Poly s, g;
+  pxgcd(*C.F, sred(C, f), C.modulus, s, g);
+  if (pdeg(g) != 0) {
+    C.factor = g;
+    C.failed = true;
+    return false;
+  }
+  out = sred(C, s);
+  return true;
+}
+
+static bool peq(const Poly &a, const Poly &b) {
+  if (a.size() != b.size()) return false;
+  for (size_t i = 0; i < a.size(); ++i)
+    if (!fe_eq(a[i], b[i])) return false;
+  return true;
+}
+
+static SEndo endo_add(SchoofCtx &C, const SEndo &e1, const SEndo &e2) {
+  const FieldCtx &F = *C.F;
+  if (C.failed || e1.inf) return e2;
+  if (e2.inf) return e1;
+  SEndo out;
+  out.inf = false;
+  Poly c;
+  if (peq(e1.a, e2.a)) {
+    Poly negb2(e2.b.size());
+    for (size_t i = 0; i < e2.b.size(); ++i) fe_neg(F, negb2[i], e2.b[i]);
+    ptrim(negb2);
+    if (peq(e1.b, negb2)) {
+      out.inf = true;  // opposite points
+      return out;
+    }
+    if (peq(e1.b, e2.b)) {
+      // tangent: c = (3a^2 + A) / (2*Fc*b)
+      Poly aa = pmul(F, e1.a, e1.a);
+      Poly num = pscale(F, aa, fe_small(F, 3));
+      Poly acoef = {C.Fc.size() > 1 ? C.Fc[1] : fe_small(F, 0)};
+      num = sred(C, padd(F, num, acoef));
+      Poly den = pscale(F, pmul(F, C.Fc, e1.b), fe_small(F, 2));
+      den = sred(C, den);
+      Poly deninv;
+      if (!sinv(C, den, deninv)) return out;
+      c = sred(C, pmul(F, num, deninv));
+    } else {
+      out.inf = true;  // distinct endos sharing x (unreachable branch)
+      return out;
+    }
+  } else {
+    Poly num = psub(F, e2.b, e1.b);
+    Poly den = psub(F, e2.a, e1.a);
+    Poly deninv;
+    if (!sinv(C, sred(C, den), deninv)) return out;
+    c = sred(C, pmul(F, sred(C, num), deninv));
+  }
+  Poly cc = sred(C, pmul(F, c, c));
+  Poly x3 = psub(F, sred(C, pmul(F, cc, C.Fc)), padd(F, e1.a, e2.a));
+  x3 = sred(C, x3);
+  Poly b3 = psub(F, sred(C, pmul(F, c, psub(F, e1.a, x3))), e1.b);
+  out.a = x3;
+  out.b = sred(C, b3);
+  return out;
+}
+
+static SEndo endo_smul(SchoofCtx &C, const SEndo &e, u64 k) {
+  SEndo res;
+  res.inf = true;
+  SEndo acc = e;
+  while (k && !C.failed) {
+    if (k & 1) res = endo_add(C, res, acc);
+    k >>= 1;
+    if (k) acc = endo_add(C, acc, acc);
+  }
+  return res;
+}
+
+static bool sendo_eq(const SEndo &a, const SEndo &b) {
+  if (a.inf || b.inf) return a.inf && b.inf;
+  return peq(a.a, b.a) && peq(a.b, b.b);
+}
+
+// t mod l via pi^2 + [p mod l] = [t]*pi in F_p[x]/psi_l
+// (schoofs.rs:76-138); returns -1 only on internal error
+static int64_t schoof_trace_odd(const FieldCtx &F, const Fe &Am,
+                                const Fe &Bm, u32 ell) {
+  std::vector<Poly> f = division_polys(F, Am, Bm, (int)ell);
+  Poly modulus = f[ell];
+  Poly Fc = {Bm, Am, fe_small(F, 0), F.one_m};
+  ptrim(Fc);
+  Fe pm1_half;  // (p - 1) / 2
+  {
+    Fe one;
+    std::memset(one.v, 0, sizeof(Fe));
+    one.v[0] = 1;
+    Fe pm1;
+    fe_sub_raw(pm1, F.p, one);
+    for (int i = 0; i < NL; ++i) {
+      pm1_half.v[i] = pm1.v[i] >> 1;
+      if (i + 1 < NL) pm1_half.v[i] |= pm1.v[i + 1] << 63;
+    }
+  }
+  u64 p_mod_l = 0;  // p mod l via limb folding
+  {
+    u64 m = 1;  // 2^64 mod l, built incrementally
+    for (int i = 0; i < NL; ++i) {
+      p_mod_l = (p_mod_l + (u128)(F.p.v[i] % ell) * m % ell) % ell;
+      m = (u64)((u128)m * ((((u128)1 << 64) % ell)) % ell);
+    }
+  }
+  for (int guard = 0; guard < 64; ++guard) {
+    SchoofCtx C;
+    C.F = &F;
+    C.modulus = modulus;
+    C.Fc = Fc;
+    C.failed = false;
+    Poly x = {fe_small(F, 0), F.one_m};
+    SEndo pi;
+    pi.inf = false;
+    pi.a = ppowmod(F, x, F.p, C.modulus);
+    pi.b = ppowmod(F, Fc, pm1_half, C.modulus);
+    SEndo pi2;
+    pi2.inf = false;
+    pi2.a = ppowmod(F, pi.a, F.p, C.modulus);
+    pi2.b = pmod(F, pmul(F, pi.b, ppowmod(F, pi.b, F.p, C.modulus)),
+                 C.modulus);
+    SEndo identity;
+    identity.inf = false;
+    identity.a = sred(C, x);
+    identity.b = sred(C, Poly{F.one_m});
+    SEndo q_endo = endo_smul(C, identity, p_mod_l);
+    if (C.failed) { modulus = C.factor; continue; }
+    SEndo lhs = endo_add(C, pi2, q_endo);
+    if (C.failed) { modulus = C.factor; continue; }
+    if (lhs.inf) return 0;
+    SEndo rhs;
+    rhs.inf = true;
+    bool restart = false;
+    for (u32 j = 1; j < ell; ++j) {
+      rhs = endo_add(C, rhs, pi);
+      if (C.failed) { modulus = C.factor; restart = true; break; }
+      if (!rhs.inf && sendo_eq(lhs, rhs)) return (int64_t)j;
+    }
+    if (restart) continue;
+    return -1;  // unreachable for valid inputs
+  }
+  return -1;
+}
+
+// l = 2 parity: x^3+Ax+B has a root <=> even order <=> t even
+// (schoofs.rs:345-366)
+static int64_t schoof_trace_two(const FieldCtx &F, const Fe &Am,
+                                const Fe &Bm) {
+  Poly cubic = {Bm, Am, fe_small(F, 0), F.one_m};
+  ptrim(cubic);
+  Poly x = {fe_small(F, 0), F.one_m};
+  Poly xp = ppowmod(F, x, F.p, cubic);
+  Poly g = pgcd(F, cubic, psub(F, xp, x));
+  return pdeg(g) != 0 ? 0 : 1;
+}
+
 }  // namespace
 
 // ------------------------------------------------------------- C API
@@ -1181,6 +1606,22 @@ double ecn_mul_throughput(const u8 *p_le, u64 iters) {
   volatile u64 sink = a.v[0];
   (void)sink;
   return (double)a.v[0];
+}
+
+// Frobenius trace t mod ell for y^2 = x^3 + Ax + B over F_p
+// (schoofs.rs:76-138 / 345-366); returns -1 on internal error. The
+// caller (ecfft_tpu/schoof.py) CRT-accumulates across ells in Python.
+int64_t ecn_schoof_trace(const u8 *p_le, const u8 *a_le, const u8 *b_le,
+                         u32 ell) {
+  FieldCtx F;
+  ctx_init(F, p_le);
+  Fe Ac, Bc, Am, Bm;
+  std::memcpy(Ac.v, a_le, 32);
+  std::memcpy(Bc.v, b_le, 32);
+  to_mont(F, Am, Ac);
+  to_mont(F, Bm, Bc);
+  if (ell == 2) return schoof_trace_two(F, Am, Bm);
+  return schoof_trace_odd(F, Am, Bm, ell);
 }
 
 }  // extern "C"
