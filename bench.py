@@ -106,8 +106,20 @@ def main():
 
     log("compiling enter...")
     t0 = time.time()
-    out = tree.enter(coeffs)
-    out.block_until_ready()
+    try:
+        out = tree.enter(coeffs)
+        out.block_until_ready()
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        # the TPU default is the unrolled executor (ops/unrolled.py);
+        # if it trips a runtime/compiler quirk, fall back to the scan
+        # interpreter rather than losing the whole bench run
+        if os.environ.get("ECFFT_EXECUTOR") == "scan":
+            raise
+        log(f"unrolled executor failed ({type(e).__name__}: {e}); "
+            "retrying on the scan executor")
+        os.environ["ECFFT_EXECUTOR"] = "scan"
+        out = tree.enter(coeffs)
+        out.block_until_ready()
     log(f"first call (compile+run): {time.time()-t0:.1f}s")
 
     # correctness gate: TPU result must match the native engine bit-for-bit

@@ -46,7 +46,7 @@ __all__ = ["FFTree", "S0", "S1", "build_fftree"]
 
 # bump on ANY pool/schedule layout change — stale cache files from an
 # older layout must never load (their offsets would silently misindex)
-_POOL_FORMAT = 5
+_POOL_FORMAT = 6
 
 
 def _ilog2(n: int) -> int:

@@ -106,39 +106,73 @@ def _make_helpers(spec: FieldSpec):
                 fold=fold, cios=cios, cond_subtract=cond_subtract)
 
 
-def _make_kernel(spec: FieldSpec):
-    h = _make_helpers(spec)
+def aff2_tile(h, a, b, x1, x2):
+    """A·x1 + B·x2 on one (TW, L, TB) tile; ``h`` from _make_helpers.
+    a, b: (TW, L) coefficient rows. The body of the muladd2 kernel,
+    shared with the fused pair-butterfly kernels (ops/unrolled.py)."""
     L, mont, W1 = h["L"], h["mont"], h["W1"]
     ripple, fold, cios = h["ripple"], h["fold"], h["cios"]
+    cols = [
+        jnp.zeros(x1.shape[:1] + x1.shape[2:], jnp.uint32)
+        for _ in range(2 * L)
+    ]
+    for i in range(L):
+        # broadcast the i-th coefficient limb (TW, 1, 1) over (TW, L, B)
+        p1 = a[:, i][:, None, None] * x1
+        p2 = b[:, i][:, None, None] * x2
+        lo = (p1 & MASK16) + (p2 & MASK16)
+        hi = (p1 >> 16) + (p2 >> 16)
+        for j in range(L):
+            cols[i + j] = cols[i + j] + lo[:, j, :]
+            cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
+    if mont:
+        # CIOS: residents are in Montgomery form, so one pass
+        # yields (A·x1 + B·x2)·R⁻¹
+        c = cios(cols)
+    else:
+        c = ripple(fold(cols))
+        c = ripple(fold(c))
+    x = h["cond_subtract"](c[:W1], h["comps"])
+    return jnp.stack(x[:L], axis=1)
+
+
+def aff1_tile(h, c_co, x1, x2):
+    """x1 + C·x2 on one (TW, L, TB) tile; ``h`` from _make_helpers.
+    The body of the muladd1 kernel, shared with ops/unrolled.py."""
+    L, mont, W1 = h["L"], h["mont"], h["W1"]
+    ripple, fold, cios = h["ripple"], h["fold"], h["cios"]
+    cols = [
+        jnp.zeros(x1.shape[:1] + x1.shape[2:], jnp.uint32)
+        for _ in range(2 * L)
+    ]
+    for i in range(L):
+        p2 = c_co[:, i][:, None, None] * x2
+        lo = p2 & MASK16
+        hi = p2 >> 16
+        for j in range(L):
+            cols[i + j] = cols[i + j] + lo[:, j, :]
+            cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
+    if mont:
+        c = cios(cols)
+        x = h["cond_subtract"](c[:W1], h["comps"])
+        # + x1 (canonical, Montgomery form): one conditional subtract
+        s = [x[i] + x1[:, i, :] for i in range(L)] + [x[L]]
+        x = h["cond_subtract"](ripple(s)[:W1], h["comps"][-1:])
+    else:
+        for j in range(L):
+            cols[j] = cols[j] + x1[:, j, :]
+        c = ripple(fold(cols))
+        c = ripple(fold(c))
+        x = h["cond_subtract"](c[:W1], h["comps"])
+    return jnp.stack(x[:L], axis=1)
+
+
+def _make_kernel(spec: FieldSpec):
+    h = _make_helpers(spec)
 
     def kernel(a_ref, b_ref, x1_ref, x2_ref, o_ref):
-        a = a_ref[...]  # (TW, L)
-        b = b_ref[...]
-        x1 = x1_ref[...]  # (TW, L, B)
-        x2 = x2_ref[...]
-        # shift-accumulate convolution of both products, columns < 2^22
-        cols = [
-            jnp.zeros(x1.shape[:1] + x1.shape[2:], jnp.uint32)
-            for _ in range(2 * L)
-        ]
-        for i in range(L):
-            # broadcast the i-th coefficient limb (TW, 1, 1) over (TW, L, B)
-            p1 = a[:, i][:, None, None] * x1
-            p2 = b[:, i][:, None, None] * x2
-            lo = (p1 & MASK16) + (p2 & MASK16)
-            hi = (p1 >> 16) + (p2 >> 16)
-            for j in range(L):
-                cols[i + j] = cols[i + j] + lo[:, j, :]
-                cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
-        if mont:
-            # CIOS: residents are in Montgomery form, so one pass
-            # yields (A·x1 + B·x2)·R⁻¹
-            c = cios(cols)
-        else:
-            c = ripple(fold(cols))
-            c = ripple(fold(c))
-        x = h["cond_subtract"](c[:W1], h["comps"])
-        o_ref[...] = jnp.stack(x[:L], axis=1)
+        o_ref[...] = aff2_tile(h, a_ref[...], b_ref[...], x1_ref[...],
+                               x2_ref[...])
 
     return kernel
 
@@ -155,37 +189,9 @@ def _make_kernel1(spec: FieldSpec):
     form like everything resident) is added after CIOS with one
     conditional subtract."""
     h = _make_helpers(spec)
-    L, mont, W1 = h["L"], h["mont"], h["W1"]
-    ripple, fold, cios = h["ripple"], h["fold"], h["cios"]
 
     def kernel(c_ref, x1_ref, x2_ref, o_ref):
-        c_co = c_ref[...]  # (TW, L)
-        x1 = x1_ref[...]  # (TW, L, B)
-        x2 = x2_ref[...]
-        cols = [
-            jnp.zeros(x1.shape[:1] + x1.shape[2:], jnp.uint32)
-            for _ in range(2 * L)
-        ]
-        for i in range(L):
-            p2 = c_co[:, i][:, None, None] * x2
-            lo = p2 & MASK16
-            hi = p2 >> 16
-            for j in range(L):
-                cols[i + j] = cols[i + j] + lo[:, j, :]
-                cols[i + j + 1] = cols[i + j + 1] + hi[:, j, :]
-        if mont:
-            c = cios(cols)
-            x = h["cond_subtract"](c[:W1], h["comps"])
-            # + x1 (canonical, Montgomery form): one conditional subtract
-            s = [x[i] + x1[:, i, :] for i in range(L)] + [x[L]]
-            x = h["cond_subtract"](ripple(s)[:W1], h["comps"][-1:])
-        else:
-            for j in range(L):
-                cols[j] = cols[j] + x1[:, j, :]
-            c = ripple(fold(cols))
-            c = ripple(fold(c))
-            x = h["cond_subtract"](c[:W1], h["comps"])
-        o_ref[...] = jnp.stack(x[:L], axis=1)
+        o_ref[...] = aff1_tile(h, c_ref[...], x1_ref[...], x2_ref[...])
 
     return kernel
 

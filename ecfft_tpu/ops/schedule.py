@@ -507,11 +507,18 @@ class _Builder:
         self._finalize()
         W = self.W
         steps = self._fin
-        A = max(hi - lo for _, lo, hi, _, _ in steps)
+        # starts are 128-aligned (the unrolled executor's fused butterfly
+        # kernels need tile-aligned windows), so A must absorb each
+        # step's alignment slack: A >= hi - (lo & ~127) guarantees
+        # [start, start + A) covers [lo, hi) for start = min(lo & ~127,
+        # W - A) (W - A is itself 128-aligned since both are multiples)
+        A = max(hi - (lo & ~127) for _, lo, hi, _, _ in steps)
         A = min(W, (A + 127) & ~127)
         ops = np.asarray([s[0] for s in steps], np.int32)
-        starts = np.asarray([min(lo, W - A) for _, lo, _, _, _ in steps],
-                            np.int32)
+        starts = np.asarray(
+            [min(lo & ~127, W - A) for _, lo, _, _, _ in steps], np.int32)
+        for t, (_, lo, hi, _, _) in enumerate(steps):
+            assert starts[t] <= lo and starts[t] + A >= hi, (t, lo, hi)
         colp = np.zeros((len(steps), 4, NCP), np.int32)
         rid = np.full((len(steps), 4), -1, np.int32)
         dp = np.stack([s[4] for s in steps])
@@ -1369,6 +1376,14 @@ def run_schedule(spec: FieldSpec, pool, sched: Schedule, batch,
                  batch_chunk: int | None = None):
     """Execute a schedule: state packing, the step scans, unpacking.
 
+    Dispatch: on TPU (``use_pallas``) the UNROLLED executor
+    (ops/unrolled.py — trace-time step expansion with fused pair-DMA
+    butterfly kernels, ~2 HBM window-traversals per level instead of ~9)
+    runs unless ``ECFFT_EXECUTOR=scan``; elsewhere this compiled-scan
+    interpreter runs unless ``ECFFT_EXECUTOR=unrolled`` (the unrolled
+    form trades much larger per-(schedule, size) compiles for runtime,
+    which only pays off on accelerators). Both produce identical bits.
+
     ``batch``: (B, m, L) input; ``sched``: a :class:`Schedule`;
     ``pool``: (P, L). Each step synthesizes its four index rows from the
     16-scalar column formulas (residual bank rows where flagged),
@@ -1391,6 +1406,14 @@ def run_schedule(spec: FieldSpec, pool, sched: Schedule, batch,
     runtime, while the same steps as separate executables run fine and
     bit-match the native engine.
     """
+    import os
+
+    choice = os.environ.get("ECFFT_EXECUTOR")
+    if choice == "unrolled" or (choice != "scan" and use_pallas):
+        from ecfft_tpu.ops.unrolled import run_unrolled
+
+        return run_unrolled(spec, pool, sched, batch, one_pos, m_out,
+                            use_pallas, batch_chunk)
     x = _pack_state(spec, batch, sched.W, one_pos)
     scalars, bank = sched.xs[:5], sched.xs[5]
     nsteps = int(scalars[0].shape[0])
