@@ -942,18 +942,90 @@ static Poly psub(const FieldCtx &F, const Poly &a, const Poly &b) {
   return r;
 }
 
-static Poly pmul(const FieldCtx &F, const Poly &a, const Poly &b) {
-  if (a.empty() || b.empty()) return {};
-  Poly r(a.size() + b.size() - 1);
-  for (auto &c : r) std::memset(c.v, 0, sizeof(Fe));
-  for (size_t i = 0; i < a.size(); ++i) {
+// schoolbook base case; kept untrimmed (exact length a+b-1) for the
+// recursive Karatsuba combiner
+static void pmul_base(const FieldCtx &F, const Fe *a, size_t na,
+                      const Fe *b, size_t nb, Fe *r) {
+  std::memset((void *)r, 0, (na + nb - 1) * sizeof(Fe));
+  for (size_t i = 0; i < na; ++i) {
     if (fe_is_zero(a[i])) continue;
-    for (size_t j = 0; j < b.size(); ++j) {
+    for (size_t j = 0; j < nb; ++j) {
       Fe t;
       fe_mul(F, t, a[i], b[j]);
       fe_add(F, r[i + j], r[i + j], t);
     }
   }
+}
+
+static const size_t KARA_THRESH = 24;
+
+// r[0 .. na+nb-2] = a * b, Karatsuba above KARA_THRESH. Schoof's ring
+// elements reach degree ~(l^2)/2; schoolbook there is the difference
+// between minutes and hours per Frobenius power at 256-bit p.
+static void pmul_rec(const FieldCtx &F, const Fe *a, size_t na,
+                     const Fe *b, size_t nb, Fe *r) {
+  if (na > nb) { std::swap(a, b); std::swap(na, nb); }
+  if (na == 0) return;
+  if (na < KARA_THRESH) {
+    pmul_base(F, a, na, b, nb, r);
+    return;
+  }
+  size_t h = (nb + 1) / 2;  // split the longer operand
+  if (na <= h) {
+    // a fits entirely in the low half: r = a*b_lo + x^h * a*b_hi
+    std::memset((void *)r, 0, (na + nb - 1) * sizeof(Fe));
+    std::vector<Fe> t(na + h - 1);
+    pmul_rec(F, a, na, b, h, t.data());
+    for (size_t i = 0; i < t.size(); ++i) fe_add(F, r[i], r[i], t[i]);
+    t.assign(na + (nb - h) - 1, Fe());
+    pmul_rec(F, a, na, b + h, nb - h, t.data());
+    for (size_t i = 0; i < t.size(); ++i)
+      fe_add(F, r[h + i], r[h + i], t[i]);
+    return;
+  }
+  // both split: (a0 + x^h a1)(b0 + x^h b1)
+  size_t na1 = na - h, nb1 = nb - h;
+  std::memset((void *)r, 0, (na + nb - 1) * sizeof(Fe));
+  std::vector<Fe> z0(2 * h - 1), z2(na1 + nb1 - 1);
+  pmul_rec(F, a, h, b, h, z0.data());
+  pmul_rec(F, a + h, na1, b + h, nb1, z2.data());
+  // (a0+a1)(b0+b1)
+  std::vector<Fe> sa(h), sb(h);
+  for (size_t i = 0; i < h; ++i) {
+    Fe hi;
+    std::memset(hi.v, 0, sizeof(Fe));
+    if (i < na1) hi = a[h + i];
+    fe_add(F, sa[i], a[i], hi);
+    std::memset(hi.v, 0, sizeof(Fe));
+    if (i < nb1) hi = b[h + i];
+    fe_add(F, sb[i], b[i], hi);
+  }
+  std::vector<Fe> z1(2 * h - 1);
+  pmul_rec(F, sa.data(), h, sb.data(), h, z1.data());
+  for (size_t i = 0; i < z1.size(); ++i) {
+    if (i < z0.size()) fe_sub(F, z1[i], z1[i], z0[i]);
+    if (i < z2.size()) fe_sub(F, z1[i], z1[i], z2[i]);
+  }
+  for (size_t i = 0; i < z0.size(); ++i) fe_add(F, r[i], r[i], z0[i]);
+  for (size_t i = 0; i < z1.size(); ++i)
+    fe_add(F, r[h + i], r[h + i], z1[i]);
+  for (size_t i = 0; i < z2.size(); ++i)
+    fe_add(F, r[2 * h + i], r[2 * h + i], z2[i]);
+}
+
+static Poly pmul(const FieldCtx &F, const Poly &a, const Poly &b) {
+  if (a.empty() || b.empty()) return {};
+  Poly r(a.size() + b.size() - 1);
+  pmul_rec(F, a.data(), a.size(), b.data(), b.size(), r.data());
+  ptrim(r);
+  return r;
+}
+
+// low ``k`` coefficients of a*b (series product)
+static Poly pmullo(const FieldCtx &F, const Poly &a, const Poly &b,
+                   size_t k) {
+  Poly r = pmul(F, a, b);
+  if (r.size() > k) r.resize(k);
   ptrim(r);
   return r;
 }
@@ -983,6 +1055,84 @@ static Poly pmod(const FieldCtx &F, const Poly &a, const Poly &b) {
     }
     ptrim(r);
   }
+  return r;
+}
+
+// ------------------------- fixed-modulus Barrett reduction (Schoof hot path)
+//
+// Schoof reduces thousands of degree <2d products by ONE modulus psi_l
+// (degree d ~ l^2/2). Long division is O(d^2) per reduction; with the
+// Newton-series inverse of the reversed modulus precomputed once, each
+// reduction is two Karatsuba products (quotient estimate + back-multiply).
+
+struct BarCtx {
+  Poly m;     // monic modulus
+  Poly rinv;  // rev(m)^{-1} mod x^dm
+  int dm;     // deg m
+};
+
+// series inverse of r (r[0] must be 1) modulo x^k, by Newton iteration
+static Poly pinv_series(const FieldCtx &F, const Poly &r, size_t k) {
+  Poly g = {F.one_m};
+  size_t prec = 1;
+  while (prec < k) {
+    prec = std::min(2 * prec, k);
+    Poly rg = pmullo(F, r, g, prec);
+    Poly t(prec);
+    for (auto &c : t) std::memset(c.v, 0, sizeof(Fe));
+    Fe two;
+    fe_add(F, two, F.one_m, F.one_m);
+    if (!rg.empty()) {
+      for (size_t i = 0; i < rg.size(); ++i) fe_neg(F, t[i], rg[i]);
+      fe_add(F, t[0], t[0], two);
+    } else {
+      t[0] = two;
+    }
+    g = pmullo(F, g, t, prec);
+  }
+  return g;
+}
+
+static Poly prev_fixed(const Poly &a, size_t len) {
+  Poly r(len);
+  for (auto &c : r) std::memset(c.v, 0, sizeof(Fe));
+  for (size_t i = 0; i < a.size() && i < len; ++i) r[len - 1 - i] = a[i];
+  return r;
+}
+
+static void bar_init(const FieldCtx &F, BarCtx &C, const Poly &m) {
+  C.m = m;
+  ptrim(C.m);
+  C.dm = pdeg(C.m);
+  if (C.dm <= 0) { C.rinv = {}; return; }
+  if (!fe_eq(C.m.back(), F.one_m)) {  // monic-normalize (same ideal)
+    Fe li;
+    fe_inv(F, li, C.m.back());
+    C.m = pscale(F, C.m, li);
+  }
+  Poly rev = prev_fixed(C.m, C.dm + 1);
+  C.rinv = pinv_series(F, rev, (size_t)C.dm);
+}
+
+// a mod C.m for deg a <= 2*dm - 2 (a product of two residues)
+static Poly bar_red(const FieldCtx &F, const BarCtx &C, Poly a) {
+  ptrim(a);
+  int da = pdeg(a);
+  if (da < C.dm) return a;
+  size_t k = (size_t)(da - C.dm + 1);  // quotient length, <= dm - 1
+  Poly q_rev = pmullo(F, prev_fixed(a, (size_t)da + 1), C.rinv, k);
+  Poly q = prev_fixed(q_rev, k);
+  Poly qm = pmullo(F, q, C.m, (size_t)C.dm);
+  Poly r((size_t)C.dm);
+  for (int i = 0; i < C.dm; ++i) {
+    Fe lo, s;
+    std::memset(lo.v, 0, sizeof(Fe));
+    std::memset(s.v, 0, sizeof(Fe));
+    if ((size_t)i < a.size()) lo = a[(size_t)i];
+    if ((size_t)i < qm.size()) s = qm[(size_t)i];
+    fe_sub(F, r[(size_t)i], lo, s);
+  }
+  ptrim(r);
   return r;
 }
 
@@ -1044,18 +1194,22 @@ static void pxgcd(const FieldCtx &F, const Poly &f, const Poly &m,
   s_out = pscale(F, s0, li);
 }
 
-// f^e mod m, e a 256-bit little-endian exponent
+// f^e mod m, e a 256-bit little-endian exponent; the per-bit reductions
+// go through a Barrett context built once for m
 static Poly ppowmod(const FieldCtx &F, const Poly &f, const Fe &e,
                     const Poly &m) {
+  BarCtx C;
+  bar_init(F, C, m);
   int top = -1;
   for (int i = NL * 64 - 1; i >= 0; --i)
     if ((e.v[i / 64] >> (i % 64)) & 1) { top = i; break; }
   Poly res = {F.one_m};
-  if (top < 0) return pmod(F, res, m);
-  Poly acc = pmod(F, f, m);
+  if (top < 0) return pmod(F, res, C.m);
+  Poly acc = pmod(F, f, C.m);
   for (int i = 0; i <= top; ++i) {
-    if ((e.v[i / 64] >> (i % 64)) & 1) res = pmod(F, pmul(F, res, acc), m);
-    if (i < top) acc = pmod(F, pmul(F, acc, acc), m);
+    if ((e.v[i / 64] >> (i % 64)) & 1)
+      res = bar_red(F, C, pmul(F, res, acc));
+    if (i < top) acc = bar_red(F, C, pmul(F, acc, acc));
   }
   return res;
 }
@@ -1152,18 +1306,20 @@ struct SEndo {
 struct SchoofCtx {
   const FieldCtx *F;
   Poly modulus;
+  BarCtx bar;  // Barrett context for `modulus` (monic-normalized)
   Poly Fc;  // x^3 + Ax + B
   Poly factor;  // non-empty => restart with this modulus factor
   bool failed;
 };
 
 static Poly sred(SchoofCtx &C, const Poly &f) {
-  return pmod(*C.F, f, C.modulus);
+  if (pdeg(f) <= 2 * C.bar.dm - 2) return bar_red(*C.F, C.bar, f);
+  return pmod(*C.F, f, C.bar.m);
 }
 
 static bool sinv(SchoofCtx &C, const Poly &f, Poly &out) {
   Poly s, g;
-  pxgcd(*C.F, sred(C, f), C.modulus, s, g);
+  pxgcd(*C.F, sred(C, f), C.bar.m, s, g);
   if (pdeg(g) != 0) {
     C.factor = g;
     C.failed = true;
@@ -1275,18 +1431,18 @@ static int64_t schoof_trace_odd(const FieldCtx &F, const Fe &Am,
     SchoofCtx C;
     C.F = &F;
     C.modulus = modulus;
+    bar_init(F, C.bar, modulus);
     C.Fc = Fc;
     C.failed = false;
     Poly x = {fe_small(F, 0), F.one_m};
     SEndo pi;
     pi.inf = false;
-    pi.a = ppowmod(F, x, F.p, C.modulus);
-    pi.b = ppowmod(F, Fc, pm1_half, C.modulus);
+    pi.a = ppowmod(F, x, F.p, C.bar.m);
+    pi.b = ppowmod(F, Fc, pm1_half, C.bar.m);
     SEndo pi2;
     pi2.inf = false;
-    pi2.a = ppowmod(F, pi.a, F.p, C.modulus);
-    pi2.b = pmod(F, pmul(F, pi.b, ppowmod(F, pi.b, F.p, C.modulus)),
-                 C.modulus);
+    pi2.a = ppowmod(F, pi.a, F.p, C.bar.m);
+    pi2.b = sred(C, pmul(F, pi.b, ppowmod(F, pi.b, F.p, C.bar.m)));
     SEndo identity;
     identity.inf = false;
     identity.a = sred(C, x);
@@ -1296,13 +1452,34 @@ static int64_t schoof_trace_odd(const FieldCtx &F, const Fe &Am,
     SEndo lhs = endo_add(C, pi2, q_endo);
     if (C.failed) { modulus = C.factor; continue; }
     if (lhs.inf) return 0;
-    SEndo rhs;
-    rhs.inf = true;
+    // baby-step giant-step over the match lhs == [j]pi, j in [1, ell-1]:
+    // ~2*sqrt(ell) endo_adds (each one ring inversion) instead of ell
+    u32 bs = 1;
+    while (bs * bs < ell) ++bs;
+    std::vector<SEndo> baby(bs + 1);  // baby[r] = [r]pi
+    baby[0].inf = true;
     bool restart = false;
-    for (u32 j = 1; j < ell; ++j) {
-      rhs = endo_add(C, rhs, pi);
-      if (C.failed) { modulus = C.factor; restart = true; break; }
-      if (!rhs.inf && sendo_eq(lhs, rhs)) return (int64_t)j;
+    for (u32 r = 1; r <= bs && !restart; ++r) {
+      baby[r] = endo_add(C, baby[r - 1], pi);
+      if (C.failed) { modulus = C.factor; restart = true; }
+    }
+    if (restart) continue;
+    SEndo neg_g = baby[bs];  // [-bs]pi
+    for (auto &c : neg_g.b) {
+      Fe t;
+      fe_neg(F, t, c);
+      c = t;
+    }
+    SEndo cur = lhs;  // lhs - [k*bs]pi
+    for (u32 k = 0; (u64)k * bs < (u64)ell + bs && !restart; ++k) {
+      for (u32 r = 0; r <= bs; ++r) {
+        if (sendo_eq(cur, baby[r])) {
+          u64 j = (u64)k * bs + r;
+          if (j >= 1 && j < ell) return (int64_t)j;
+        }
+      }
+      cur = endo_add(C, cur, neg_g);
+      if (C.failed) { modulus = C.factor; restart = true; }
     }
     if (restart) continue;
     return -1;  // unreachable for valid inputs
