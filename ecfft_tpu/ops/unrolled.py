@@ -58,6 +58,12 @@ from ecfft_tpu.ops.schedule import (
 )
 
 TW = 128  # fused-kernel row tile (pair variant needs TW | half)
+
+# the fused kernels' scratch tiles + the tile-fn compute temps exceed the
+# default 16 MB scoped-VMEM cap at (L=16, tb=128): measured 27.2 MB for
+# the 2-mul tile at n=2^16 b=256. v5e has 128 MB of VMEM; raise the cap
+# so the compiler stops refusing a working configuration.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 MIN_FUSED_HALF = 8  # below this the in-tile swap shreds into row slices
 
 SEG_STEPS = 64  # steps per jitted segment (bounds program size)
@@ -245,6 +251,7 @@ def _fused_bf1(spec: FieldSpec, state, cwin, start: int, half: int,
                 pltpu.SemaphoreType.DMA((4,)),
             ],
             interpret=interpret,
+            compiler_params=_VMEM_PARAMS,
         )(state, cwin, cwin)
 
     # in-tile partner: half < TW, both halves of every pair in one tile
@@ -281,6 +288,7 @@ def _fused_bf1(spec: FieldSpec, state, cwin, start: int, half: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
     )(state, cwin)
 
 
@@ -354,6 +362,7 @@ def _fused_bf2(spec: FieldSpec, state, awin, bwin, start: int, half: int,
                 pltpu.SemaphoreType.DMA((4,)),
             ],
             interpret=interpret,
+            compiler_params=_VMEM_PARAMS,
         )(state, awin, bwin, awin, bwin)
 
     def kernel(st_ref, a_ref, b_ref, out_ref, xt, ot, sems):
@@ -392,6 +401,7 @@ def _fused_bf2(spec: FieldSpec, state, awin, bwin, start: int, half: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
     )(state, awin, bwin)
 
 
