@@ -15,13 +15,17 @@ and lowers each butterfly level to ONE Pallas kernel:
                    DMA out  both tiles (output aliases the state buffer)
 
 Each window row is read once and written once per level — the 2-traversal
-minimum — instead of ~9. Both halves of a pair are handled by the same
-grid step, so in-place execution is race-free (pairs partition the
-window). For half < TW the partner sits inside the tile and the xor is a
-static slice swap; for half < 8 (and non-butterfly steps: source-fold
-levels, ENTER's combine, REDC's elementwise stages, OP_MUL, OP_CMPSEL)
-the step falls back to the same XLA ops the scan executor uses, with
-static starts and trace-time index synthesis.
+minimum for an out-of-VMEM level — instead of ~9. Both halves of a pair
+are handled by the same grid step, so in-place execution is race-free
+(pairs partition the window). Better still, for half < TW the partner
+sits inside the tile (the xor is a static reshape swap), and CONSECUTIVE
+in-tile levels fuse into one cascade kernel (_fused_cascade): an extend's
+halves run bs/2 … 1 … bs/2, so all its levels with half ≤ TW/2 — up to
+2·log(TW) of them plus the final recombine — execute as ONE kernel with
+a single DMA in/out, the state riding VMEM between levels. Non-butterfly
+steps (source-fold levels, ENTER's combine, REDC's elementwise stages,
+OP_MUL, OP_CMPSEL) fall back to the same XLA ops the scan executor uses,
+with static starts and trace-time index synthesis.
 
 Outputs are bit-identical to the scan executor: every step produces
 canonical residues, which are unique — cross-validated by
@@ -64,7 +68,7 @@ TW = 128  # fused-kernel row tile (pair variant needs TW | half)
 # the 2-mul tile at n=2^16 b=256. v5e has 128 MB of VMEM; raise the cap
 # so the compiler stops refusing a working configuration.
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
-MIN_FUSED_HALF = 8  # below this the in-tile swap shreds into row slices
+MIN_FUSED_HALF = 1  # the reshape-based in-tile swap is cheap at any half
 
 SEG_STEPS = 64  # steps per jitted segment (bounds program size)
 
@@ -175,23 +179,99 @@ def _tile_fns(spec: FieldSpec):
 
 
 def _intile_partner(x, half: int):
-    """x[r ^ half] along axis 0 for half < TW (static slice swap)."""
-    parts = []
-    for g0 in range(0, x.shape[0], 2 * half):
-        parts.append(x[g0 + half:g0 + 2 * half])
-        parts.append(x[g0:g0 + half])
-    return jnp.concatenate(parts, axis=0)
+    """x[r ^ half] along axis 0 for half < TW: reshape to expose the
+    butterfly bit as its own (leading) axis of size 2 and swap it — two
+    static slices + one stack regardless of half, so even half = 1 costs
+    a handful of register moves instead of TW/half concatenated rows."""
+    g = x.shape[0] // (2 * half)
+    y = x.reshape((g, 2, half) + x.shape[1:])
+    y = jnp.stack([y[:, 1], y[:, 0]], axis=1)
+    return y.reshape(x.shape)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+def _fused_cascade(spec: FieldSpec, state, cwins, awins, start: int,
+                   halves: tuple, kinds: tuple, tb: int, interpret: bool):
+    """A RUN of consecutive in-tile butterfly levels as ONE kernel:
+
+        for level li:  x[p] = x[p] + C_li[p]·x[p^half_li]      (kind 0)
+                   or  x[p] = A[p]·x[p] + B_li[p]·x[p^half_li] (kind 1)
+
+    for p in [start, start+A), in place. Every half < TW with
+    TW % 2·half == 0, so each 128-row tile is closed under all the xors:
+    the whole run is one DMA in + k register-resident levels + one DMA
+    out — k× fewer HBM traversals than k single-level kernels. This is
+    the multi-level VMEM-residency lever: an EXTEND's level halves run
+    bs/2 … 1 then 1 … bs/2, so all levels with half ≤ TW/2 (up to
+    2·log(TW) of them, plus the final 2-mul recombine when it lands
+    in-tile) sit in one contiguous fusable run.
+
+    cwins: (k, A, L) stacked per-level C (or B) rows; awins: (k2, A, L)
+    rows for the kind-1 levels only (k2 ≥ 1; a dummy row when none)."""
+    W, L, B = state.shape
+    A = cwins.shape[1]
+    aff1, aff2 = _tile_fns(spec)
+    k = len(halves)
+    k2 = awins.shape[0]
+
+    def kernel(st_ref, c_ref, a_ref, out_ref, xt, ot, sems):
+        g = pl.program_id(0)
+        j = pl.program_id(1)
+        t0 = start + g * TW
+        din = pltpu.make_async_copy(
+            st_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)], xt, sems.at[0])
+        din.start()
+        din.wait()
+        x = xt[...]
+        ai = 0
+        for li in range(k):
+            part = _intile_partner(x, halves[li])
+            if kinds[li] == 0:
+                x = aff1(c_ref[li], x, part)
+            else:
+                x = aff2(a_ref[ai], c_ref[li], x, part)
+                ai += 1
+        ot[...] = x
+        do = pltpu.make_async_copy(
+            ot, out_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)],
+            sems.at[1])
+        do.start()
+        do.wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(A // TW, B // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k, TW, L), lambda g, j: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, TW, L), lambda g, j: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
+    )(state, cwins, awins)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def _fused_bf1(spec: FieldSpec, state, cwin, start: int, half: int,
                A: int, tb: int, interpret: bool):
     """One butterfly level, 1-mul form: state[p] += C[p]·state[p^half]
-    for p in [start, start+A), in place (state donated/aliased)."""
+    for p in [start, start+A), in place (state donated/aliased).
+    Pair variant only (half ≥ TW; in-tile levels ride _fused_cascade)."""
     W, L, B = state.shape
     aff1, _ = _tile_fns(spec)
 
-    if half >= TW:
+    if True:
+        assert half >= TW
         ht = half // TW
         npairs = A // (2 * TW)
 
@@ -254,53 +334,18 @@ def _fused_bf1(spec: FieldSpec, state, cwin, start: int, half: int,
             compiler_params=_VMEM_PARAMS,
         )(state, cwin, cwin)
 
-    # in-tile partner: half < TW, both halves of every pair in one tile
-    def kernel(st_ref, c_ref, out_ref, xt, ot, sems):
-        g = pl.program_id(0)
-        j = pl.program_id(1)
-        t0 = start + g * TW
-        din = pltpu.make_async_copy(
-            st_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)], xt, sems.at[0])
-        din.start()
-        din.wait()
-        x = xt[...]
-        ot[...] = aff1(c_ref[...], x, _intile_partner(x, half))
-        do = pltpu.make_async_copy(
-            ot, out_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)],
-            sems.at[1])
-        do.start()
-        do.wait()
-
-    return pl.pallas_call(
-        kernel,
-        grid=(A // TW, B // tb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TW, L), lambda g, j: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
-        input_output_aliases={0: 0},
-        scratch_shapes=[
-            pltpu.VMEM((TW, L, tb), jnp.uint32),
-            pltpu.VMEM((TW, L, tb), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-        compiler_params=_VMEM_PARAMS,
-    )(state, cwin)
-
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
 def _fused_bf2(spec: FieldSpec, state, awin, bwin, start: int, half: int,
                A: int, tb: int, interpret: bool):
     """One butterfly level, 2-mul form (the unscaling final recombine):
-    state[p] = A[p]·state[p] + B[p]·state[p^half], in place."""
+    state[p] = A[p]·state[p] + B[p]·state[p^half], in place.
+    Pair variant only (half ≥ TW; in-tile levels ride _fused_cascade)."""
     W, L, B = state.shape
     _, aff2 = _tile_fns(spec)
 
-    if half >= TW:
+    if True:
+        assert half >= TW
         ht = half // TW
         npairs = A // (2 * TW)
 
@@ -364,45 +409,6 @@ def _fused_bf2(spec: FieldSpec, state, awin, bwin, start: int, half: int,
             interpret=interpret,
             compiler_params=_VMEM_PARAMS,
         )(state, awin, bwin, awin, bwin)
-
-    def kernel(st_ref, a_ref, b_ref, out_ref, xt, ot, sems):
-        g = pl.program_id(0)
-        j = pl.program_id(1)
-        t0 = start + g * TW
-        din = pltpu.make_async_copy(
-            st_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)], xt, sems.at[0])
-        din.start()
-        din.wait()
-        x = xt[...]
-        ot[...] = aff2(a_ref[...], b_ref[...], x,
-                       _intile_partner(x, half))
-        do = pltpu.make_async_copy(
-            ot, out_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)],
-            sems.at[1])
-        do.start()
-        do.wait()
-
-    return pl.pallas_call(
-        kernel,
-        grid=(A // TW, B // tb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TW, L), lambda g, j: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TW, L), lambda g, j: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
-        input_output_aliases={0: 0},
-        scratch_shapes=[
-            pltpu.VMEM((TW, L, tb), jnp.uint32),
-            pltpu.VMEM((TW, L, tb), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-        compiler_params=_VMEM_PARAMS,
-    )(state, awin, bwin)
 
 
 # --------------------------------------------------------------- executor
@@ -548,6 +554,34 @@ def _segment(spec, meta, lo, hi, use_pallas, interpret, pool, x, D, iD):
     P = pool.shape[0]
     fuse_ok = (use_pallas or interpret) and B % tb == 0
 
+    # pending run of consecutive in-tile butterfly levels (see
+    # _fused_cascade): [start, halves, kinds, cwins, awins]
+    pend = None
+    # Mosaic allocates each level's compute temps on the kernel's scoped-
+    # vmem stack WITHOUT reuse across the unrolled level loop (measured
+    # ~8.9 MB/level at L=16, tb=128 — an 11-level cascade OOM'd the 96 MB
+    # scope), so cap levels-per-kernel to a ~60 MB budget
+    per_level = TW * tb * 4 * (2 * spec.num_limbs + 2) * 4
+    max_k = max(1, (60 << 20) // per_level)
+
+    def flush():
+        nonlocal x, pend
+        if pend is None:
+            return
+        p_start, p_halves, p_kinds, p_cwins, p_awins = pend
+        pend = None
+        ai = 0
+        for c0 in range(0, len(p_halves), max_k):
+            c1 = min(c0 + max_k, len(p_halves))
+            kinds = tuple(p_kinds[c0:c1])
+            n2 = sum(kinds)
+            cw = jnp.stack(p_cwins[c0:c1])
+            aw = (jnp.stack(p_awins[ai:ai + n2]) if n2
+                  else jnp.zeros((1, cw.shape[1], cw.shape[2]), cw.dtype))
+            ai += n2
+            x = _fused_cascade(spec, x, cw, aw, p_start,
+                               tuple(p_halves[c0:c1]), kinds, tb, interpret)
+
     for t in range(lo, hi):
         op = int(xs["ops"][t])
         start = int(xs["starts"][t])
@@ -586,16 +620,32 @@ def _segment(spec, meta, lo, hi, use_pallas, interpret, pool, x, D, iD):
         if bf_half:
             brow = _col_tracer(xs, t, 2)
             cwin = jnp.take(CBx, jnp.clip(brow, 0, bsx), axis=0)
-            if op == OP_AFF1S_C:
-                x = _fused_bf1(spec, x, cwin, start, bf_half, A, tb,
-                               interpret)
-            else:
+            awin = None
+            if op != OP_AFF1S_C:
                 arow = _col_tracer(xs, t, 0)
                 awin = jnp.take(CAx, jnp.clip(arow, 0, bsx), axis=0)
-                x = _fused_bf2(spec, x, awin, cwin, start, bf_half, A, tb,
-                               interpret)
+            if bf_half >= TW:  # pair variant: its own single-level kernel
+                flush()
+                if op == OP_AFF1S_C:
+                    x = _fused_bf1(spec, x, cwin, start, bf_half, A, tb,
+                                   interpret)
+                else:
+                    x = _fused_bf2(spec, x, awin, cwin, start, bf_half, A,
+                                   tb, interpret)
+                continue
+            # in-tile level: join (or open) the pending cascade run
+            if pend is not None and pend[0] != start:
+                flush()
+            if pend is None:
+                pend = [start, [], [], [], []]
+            pend[1].append(bf_half)
+            pend[2].append(0 if op == OP_AFF1S_C else 1)
+            pend[3].append(cwin)
+            if awin is not None:
+                pend[4].append(awin)
             continue
 
+        flush()
         # ---- generic path (scan-executor ops with static params) ----
         p = start + jnp.arange(A, dtype=jnp.int32)
 
@@ -654,4 +704,5 @@ def _segment(spec, meta, lo, hi, use_pallas, interpret, pool, x, D, iD):
         else:  # pragma: no cover - unknown opcode
             raise ValueError(f"unknown opcode {op}")
         x = jax.lax.dynamic_update_slice(x, out, (start, 0, 0))
+    flush()
     return x, D, iD
