@@ -510,13 +510,22 @@ class FFTree:
         payload = (flat, *extras) if extras else flat
         use_pallas = (jax.default_backend() == "tpu"
                       and not os.environ.get("ECFFT_NO_PALLAS"))
-        # bound the HBM peak: state + two gathers + the step output are
-        # each (A, L, B); keep a chunk's set under ~4 GB on accelerators
+        # bound the HBM peak with a PER-EXECUTOR lane-cost model
+        # (ECFFT_HBM_BUDGET overrides the chunk-set budget in bytes):
+        #  - scan: state + two gathers + the step output, each ≤(W, L, c)
+        #  - unrolled: the same window set, plus the chunk's unpacked
+        #    output rows (m_out·L) — finished chunks accumulate while
+        #    later chunks run (ops/unrolled.py packs/unpacks per chunk)
         B = flat.shape[0]
         chunk = None
         if use_pallas:
-            per_lane = 4 * sched.W * self.spec.num_limbs * 4
-            max_lanes = max(128, int(4e9 // per_lane) // 128 * 128)
+            L = self.spec.num_limbs
+            if os.environ.get("ECFFT_EXECUTOR") == "unrolled":
+                per_lane = (4 * sched.W + 2 * m_out) * L * 4
+            else:
+                per_lane = 4 * sched.W * L * 4
+            budget = float(os.environ.get("ECFFT_HBM_BUDGET", 4e9))
+            max_lanes = max(128, int(budget // per_lane) // 128 * 128)
             if B > max_lanes and B % 128 == 0:
                 chunk = max_lanes
                 while B % chunk:

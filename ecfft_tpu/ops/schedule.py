@@ -1376,13 +1376,16 @@ def run_schedule(spec: FieldSpec, pool, sched: Schedule, batch,
                  batch_chunk: int | None = None):
     """Execute a schedule: state packing, the step scans, unpacking.
 
-    Dispatch: on TPU (``use_pallas``) the UNROLLED executor
-    (ops/unrolled.py — trace-time step expansion with fused pair-DMA
-    butterfly kernels, ~2 HBM window-traversals per level instead of ~9)
-    runs unless ``ECFFT_EXECUTOR=scan``; elsewhere this compiled-scan
-    interpreter runs unless ``ECFFT_EXECUTOR=unrolled`` (the unrolled
-    form trades much larger per-(schedule, size) compiles for runtime,
-    which only pays off on accelerators). Both produce identical bits.
+    Dispatch: this compiled-scan interpreter is the default on every
+    backend; the UNROLLED executor (ops/unrolled.py — trace-time step
+    expansion with fused pair-DMA butterfly kernels, ~2 HBM
+    window-traversals per level instead of ~9) runs only with
+    ``ECFFT_EXECUTOR=unrolled``. Round 3 shipped unrolled as the TPU
+    default and it regressed the flagship to a crash: at ENTER
+    secp256k1 n=2^16 batch=256 its 64-step jitted segments took >10 min
+    to compile and then RESOURCE_EXHAUSTED the chip (BENCH_r03.json),
+    so it stays opt-in until it is measured faster end-to-end at that
+    config. Both executors produce identical bits.
 
     ``batch``: (B, m, L) input; ``sched``: a :class:`Schedule`;
     ``pool``: (P, L). Each step synthesizes its four index rows from the
@@ -1409,7 +1412,7 @@ def run_schedule(spec: FieldSpec, pool, sched: Schedule, batch,
     import os
 
     choice = os.environ.get("ECFFT_EXECUTOR")
-    if choice == "unrolled" or (choice != "scan" and use_pallas):
+    if choice == "unrolled":
         from ecfft_tpu.ops.unrolled import run_unrolled
 
         return run_unrolled(spec, pool, sched, batch, one_pos, m_out,

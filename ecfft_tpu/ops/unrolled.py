@@ -270,69 +270,68 @@ def _fused_bf1(spec: FieldSpec, state, cwin, start: int, half: int,
     W, L, B = state.shape
     aff1, _ = _tile_fns(spec)
 
-    if True:
-        assert half >= TW
-        ht = half // TW
-        npairs = A // (2 * TW)
+    assert half >= TW
+    ht = half // TW
+    npairs = A // (2 * TW)
 
-        def kernel(st_ref, ct_ref, cp_ref, out_ref, xt, xp, ot, op_, sems):
-            g = pl.program_id(0)
-            j = pl.program_id(1)
-            q = g // ht
-            r = g % ht
-            trel = (q * 2 * ht + r) * TW
-            t0 = start + trel
-            p0 = t0 + half
-            din1 = pltpu.make_async_copy(
-                st_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)], xt,
-                sems.at[0])
-            din2 = pltpu.make_async_copy(
-                st_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)], xp,
-                sems.at[1])
-            din1.start()
-            din2.start()
-            din1.wait()
-            din2.wait()
-            ot[...] = aff1(ct_ref[...], xt[...], xp[...])
-            op_[...] = aff1(cp_ref[...], xp[...], xt[...])
-            do1 = pltpu.make_async_copy(
-                ot, out_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)],
-                sems.at[2])
-            do2 = pltpu.make_async_copy(
-                op_, out_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)],
-                sems.at[3])
-            do1.start()
-            do2.start()
-            do1.wait()
-            do2.wait()
+    def kernel(st_ref, ct_ref, cp_ref, out_ref, xt, xp, ot, op_, sems):
+        g = pl.program_id(0)
+        j = pl.program_id(1)
+        q = g // ht
+        r = g % ht
+        trel = (q * 2 * ht + r) * TW
+        t0 = start + trel
+        p0 = t0 + half
+        din1 = pltpu.make_async_copy(
+            st_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)], xt,
+            sems.at[0])
+        din2 = pltpu.make_async_copy(
+            st_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)], xp,
+            sems.at[1])
+        din1.start()
+        din2.start()
+        din1.wait()
+        din2.wait()
+        ot[...] = aff1(ct_ref[...], xt[...], xp[...])
+        op_[...] = aff1(cp_ref[...], xp[...], xt[...])
+        do1 = pltpu.make_async_copy(
+            ot, out_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)],
+            sems.at[2])
+        do2 = pltpu.make_async_copy(
+            op_, out_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)],
+            sems.at[3])
+        do1.start()
+        do2.start()
+        do1.wait()
+        do2.wait()
 
-        def cmap_t(g, j):
-            return ((g // ht) * 2 * ht + g % ht, 0)
+    def cmap_t(g, j):
+        return ((g // ht) * 2 * ht + g % ht, 0)
 
-        def cmap_p(g, j):
-            return ((g // ht) * 2 * ht + g % ht + ht, 0)
+    def cmap_p(g, j):
+        return ((g // ht) * 2 * ht + g % ht + ht, 0)
 
-        return pl.pallas_call(
-            kernel,
-            grid=(npairs, B // tb),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((TW, L), cmap_t, memory_space=pltpu.VMEM),
-                pl.BlockSpec((TW, L), cmap_p, memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
-            input_output_aliases={0: 0},
-            scratch_shapes=[
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
-            interpret=interpret,
-            compiler_params=_VMEM_PARAMS,
-        )(state, cwin, cwin)
+    return pl.pallas_call(
+        kernel,
+        grid=(npairs, B // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TW, L), cmap_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L), cmap_p, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
+    )(state, cwin, cwin)
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
@@ -344,71 +343,70 @@ def _fused_bf2(spec: FieldSpec, state, awin, bwin, start: int, half: int,
     W, L, B = state.shape
     _, aff2 = _tile_fns(spec)
 
-    if True:
-        assert half >= TW
-        ht = half // TW
-        npairs = A // (2 * TW)
+    assert half >= TW
+    ht = half // TW
+    npairs = A // (2 * TW)
 
-        def kernel(st_ref, at_ref, bt_ref, ap_ref, bp_ref, out_ref,
-                   xt, xp, ot, op_, sems):
-            g = pl.program_id(0)
-            j = pl.program_id(1)
-            q = g // ht
-            r = g % ht
-            t0 = start + (q * 2 * ht + r) * TW
-            p0 = t0 + half
-            din1 = pltpu.make_async_copy(
-                st_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)], xt,
-                sems.at[0])
-            din2 = pltpu.make_async_copy(
-                st_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)], xp,
-                sems.at[1])
-            din1.start()
-            din2.start()
-            din1.wait()
-            din2.wait()
-            ot[...] = aff2(at_ref[...], bt_ref[...], xt[...], xp[...])
-            op_[...] = aff2(ap_ref[...], bp_ref[...], xp[...], xt[...])
-            do1 = pltpu.make_async_copy(
-                ot, out_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)],
-                sems.at[2])
-            do2 = pltpu.make_async_copy(
-                op_, out_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)],
-                sems.at[3])
-            do1.start()
-            do2.start()
-            do1.wait()
-            do2.wait()
+    def kernel(st_ref, at_ref, bt_ref, ap_ref, bp_ref, out_ref,
+               xt, xp, ot, op_, sems):
+        g = pl.program_id(0)
+        j = pl.program_id(1)
+        q = g // ht
+        r = g % ht
+        t0 = start + (q * 2 * ht + r) * TW
+        p0 = t0 + half
+        din1 = pltpu.make_async_copy(
+            st_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)], xt,
+            sems.at[0])
+        din2 = pltpu.make_async_copy(
+            st_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)], xp,
+            sems.at[1])
+        din1.start()
+        din2.start()
+        din1.wait()
+        din2.wait()
+        ot[...] = aff2(at_ref[...], bt_ref[...], xt[...], xp[...])
+        op_[...] = aff2(ap_ref[...], bp_ref[...], xp[...], xt[...])
+        do1 = pltpu.make_async_copy(
+            ot, out_ref.at[pl.ds(t0, TW), :, pl.ds(j * tb, tb)],
+            sems.at[2])
+        do2 = pltpu.make_async_copy(
+            op_, out_ref.at[pl.ds(p0, TW), :, pl.ds(j * tb, tb)],
+            sems.at[3])
+        do1.start()
+        do2.start()
+        do1.wait()
+        do2.wait()
 
-        def cmap_t(g, j):
-            return ((g // ht) * 2 * ht + g % ht, 0)
+    def cmap_t(g, j):
+        return ((g // ht) * 2 * ht + g % ht, 0)
 
-        def cmap_p(g, j):
-            return ((g // ht) * 2 * ht + g % ht + ht, 0)
+    def cmap_p(g, j):
+        return ((g // ht) * 2 * ht + g % ht + ht, 0)
 
-        return pl.pallas_call(
-            kernel,
-            grid=(npairs, B // tb),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((TW, L), cmap_t, memory_space=pltpu.VMEM),
-                pl.BlockSpec((TW, L), cmap_t, memory_space=pltpu.VMEM),
-                pl.BlockSpec((TW, L), cmap_p, memory_space=pltpu.VMEM),
-                pl.BlockSpec((TW, L), cmap_p, memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
-            input_output_aliases={0: 0},
-            scratch_shapes=[
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.VMEM((TW, L, tb), jnp.uint32),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
-            interpret=interpret,
-            compiler_params=_VMEM_PARAMS,
-        )(state, awin, bwin, awin, bwin)
+    return pl.pallas_call(
+        kernel,
+        grid=(npairs, B // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TW, L), cmap_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L), cmap_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L), cmap_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, L), cmap_p, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.VMEM((TW, L, tb), jnp.uint32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
+    )(state, awin, bwin, awin, bwin)
 
 
 # --------------------------------------------------------------- executor
@@ -505,21 +503,28 @@ def run_unrolled(spec: FieldSpec, pool, sched: Schedule, batch,
     """Execute a schedule by unrolling its steps at trace time (see module
     docstring). Same signature/semantics as schedule.run_schedule."""
     meta = _meta(sched)
-    x = _pack_state(spec, batch, sched.W, one_pos)
     if spec.num_limbs > 1 and spec.fold_terms is None:
         pool = _pool_to_mont(spec, pool)
-    B = x.shape[-1]
+    perm = None if meta.out_perm is None else jnp.asarray(meta.out_perm)
+    first = batch[0] if isinstance(batch, tuple) else batch
+    B = first.shape[0]
     if batch_chunk is not None and batch_chunk < B and B % batch_chunk == 0:
+        # pack/run/unpack PER CHUNK so HBM holds one chunk's (W, L, c)
+        # state at a time — round 3 packed the full batch first and kept
+        # it (plus every finished chunk's full-width state) alive across
+        # chunk runs, which OOM'd the flagship (BENCH_r03.json)
         outs = []
         for c0 in range(0, B, batch_chunk):
-            outs.append(_run_chunk(spec, pool, meta, x[..., c0:c0 + batch_chunk],
-                                   use_pallas, interpret))
-        x = jnp.concatenate(outs, axis=-1)
-    else:
-        x = _run_chunk(spec, pool, meta, x, use_pallas, interpret)
-    return _unpack_state(
-        spec, x, m_out,
-        None if meta.out_perm is None else jnp.asarray(meta.out_perm))
+            sl = slice(c0, c0 + batch_chunk)
+            sub = (tuple(a[sl] if a.ndim == 3 else a for a in batch)
+                   if isinstance(batch, tuple) else batch[sl])
+            x = _pack_state(spec, sub, sched.W, one_pos)
+            x = _run_chunk(spec, pool, meta, x, use_pallas, interpret)
+            outs.append(_unpack_state(spec, x, m_out, perm))
+        return jnp.concatenate(outs, axis=0)
+    x = _pack_state(spec, batch, sched.W, one_pos)
+    x = _run_chunk(spec, pool, meta, x, use_pallas, interpret)
+    return _unpack_state(spec, x, m_out, perm)
 
 
 _SEG_CACHE: dict = {}
@@ -552,7 +557,12 @@ def _segment(spec, meta, lo, hi, use_pallas, interpret, pool, x, D, iD):
     B = x.shape[-1]
     tb = 128 if B % 128 == 0 else B
     P = pool.shape[0]
-    fuse_ok = (use_pallas or interpret) and B % tb == 0
+    # Mosaic requires DMA slices along the (last) batch dim to be
+    # 128-aligned on real hardware — a tb < 128 tile compiles only in
+    # interpret mode ("Slice shape along dimension 2 must be aligned to
+    # tiling (128), but is 3"). Non-128-multiple batches take the
+    # generic XLA path on hardware.
+    fuse_ok = interpret or (use_pallas and tb % 128 == 0)
 
     # pending run of consecutive in-tile butterfly levels (see
     # _fused_cascade): [start, halves, kinds, cwins, awins]

@@ -47,7 +47,9 @@ def test_unrolled_matches_scan_m31():
 
 
 def test_unrolled_matches_scan_secp_small():
-    # multi-limb generic path (no fusable level at n=16: halves < 8)
+    # multi-limb generic path: at n=16 the window is narrower than
+    # TW=128, so _analyze rejects every level (start/A fail the %TW
+    # alignment) — no fused level exists to check
     _roundtrip("secp256k1", 16, 2, check_fused=False)
 
 
