@@ -44,6 +44,7 @@ import struct
 
 import numpy as np
 
+from ecfft_tpu.errors import SerializationError
 from ecfft_tpu.fields.host import batch_inv_mod
 from ecfft_tpu.fields.registry import FieldSpec, get_spec
 
@@ -116,6 +117,56 @@ def _limbs_to_ints(spec: FieldSpec, arr) -> list[int]:
 # ------------------------------------------------------------ IO helpers
 
 
+def _take(buf, k: int, what: str) -> bytes:
+    """Read exactly k bytes or raise a typed error (VERDICT r3 #8: the
+    reference's Valid::check is a declared no-op, fftree.rs:593-598;
+    truncated input must never surface as a bare numpy/struct error)."""
+    data = buf.read(k)
+    if len(data) != k:
+        raise SerializationError(
+            f"truncated FFTree bytes: wanted {k} more byte(s) for {what}, "
+            f"got {len(data)}"
+        )
+    return data
+
+
+def _take_len(buf, what: str) -> int:
+    (n,) = struct.unpack("<Q", _take(buf, 8, f"{what} length"))
+    # a length prefix can't exceed the remaining byte count (each element
+    # is at least one byte) — reject before a giant allocation
+    here = buf.tell() if hasattr(buf, "tell") else None
+    if here is not None:
+        end = buf.seek(0, io.SEEK_END)
+        buf.seek(here)
+        if n > end - here:
+            raise SerializationError(
+                f"implausible {what} length {n}: only {end - here} "
+                "byte(s) remain"
+            )
+    return n
+
+
+def _check_canonical(spec, arr: np.ndarray, what: str) -> np.ndarray:
+    """Every felt must be a canonical residue in [0, p) (limb-wise
+    lexicographic compare, vectorized)."""
+    if arr.size == 0:
+        return arr
+    p_limbs = np.asarray(spec.to_limbs(spec.p), np.uint32)
+    a = arr.reshape(-1, spec.num_limbs)
+    lt = np.zeros(a.shape[0], bool)
+    ge = np.zeros(a.shape[0], bool)
+    for i in range(spec.num_limbs - 1, -1, -1):
+        undecided = ~(lt | ge)
+        lt |= undecided & (a[:, i] < p_limbs[i])
+        ge |= undecided & (a[:, i] > p_limbs[i])
+    if not lt.all():
+        bad = int(np.argmin(lt))
+        raise SerializationError(
+            f"non-canonical felt in {what} (element {bad} is >= p)"
+        )
+    return arr
+
+
 def _w_vec(buf, spec, arr):
     """Vec<F>: u64 LE length prefix + felts. ``arr`` is (n, L) limbs."""
     a = np.asarray(arr, dtype=np.uint32).reshape(-1, spec.num_limbs)
@@ -123,9 +174,10 @@ def _w_vec(buf, spec, arr):
     buf.write(_limbs_to_bytes(spec, a))
 
 
-def _r_vec(buf, spec) -> np.ndarray:
-    (n,) = struct.unpack("<Q", buf.read(8))
-    return _bytes_to_limbs(spec, buf.read(n * _felt_size(spec)), n)
+def _r_vec(buf, spec, what: str = "Vec<F>") -> np.ndarray:
+    n = _take_len(buf, what)
+    data = _take(buf, n * _felt_size(spec), what)
+    return _check_canonical(spec, _bytes_to_limbs(spec, data, n), what)
 
 
 def _w_vec_mat(buf, spec, mats):
@@ -136,9 +188,10 @@ def _w_vec_mat(buf, spec, mats):
     buf.write(_limbs_to_bytes(spec, m))
 
 
-def _r_vec_mat(buf, spec) -> np.ndarray:
-    (n,) = struct.unpack("<Q", buf.read(8))
-    flat = _bytes_to_limbs(spec, buf.read(n * 4 * _felt_size(spec)), n * 4)
+def _r_vec_mat(buf, spec, what: str = "BinaryTree<Mat2x2>") -> np.ndarray:
+    n = _take_len(buf, what)
+    data = _take(buf, n * 4 * _felt_size(spec), what)
+    flat = _check_canonical(spec, _bytes_to_limbs(spec, data, n * 4), what)
     return flat.reshape(n, 2, 2, spec.num_limbs)
 
 
@@ -152,13 +205,13 @@ def _w_maps(buf, spec, maps):
 
 
 def _r_maps(buf, spec):
-    (n,) = struct.unpack("<Q", buf.read(8))
+    n = _take_len(buf, "Vec<RationalMap>")
     return [
         (
-            _limbs_to_ints(spec, _r_vec(buf, spec)),
-            _limbs_to_ints(spec, _r_vec(buf, spec)),
+            _limbs_to_ints(spec, _r_vec(buf, spec, f"map {i} numerator")),
+            _limbs_to_ints(spec, _r_vec(buf, spec, f"map {i} denominator")),
         )
-        for _ in range(n)
+        for i in range(n)
     ]
 
 
@@ -229,34 +282,59 @@ def _write_section(buf, spec, sec: TreeSection, compress: bool):
     _w_vec(buf, spec, t["z1z1_rem_xnn_s"])
 
 
-def _host_batch_inv(spec: FieldSpec, arr: np.ndarray) -> np.ndarray:
+def _host_batch_inv(spec: FieldSpec, arr: np.ndarray,
+                    what: str = "table") -> np.ndarray:
     vals = _limbs_to_ints(spec, arr)
-    return _ints_to_limbs(spec, batch_inv_mod(vals, spec.p))
+    try:
+        return _ints_to_limbs(spec, batch_inv_mod(vals, spec.p))
+    except (ValueError, ZeroDivisionError) as e:
+        raise SerializationError(
+            f"cannot regenerate inverse of {what}: {e}"
+        ) from e
 
 
 def _read_section(buf, spec, compress: bool) -> TreeSection:
-    f_layers = _layers_from_heap(_r_vec(buf, spec))
+    fvec = _r_vec(buf, spec, "domain tree f")
+    if fvec.shape[0] < 2 or fvec.shape[0] & (fvec.shape[0] - 1):
+        raise SerializationError(
+            f"domain tree heap length {fvec.shape[0]} is not a "
+            "power of two >= 2"
+        )
+    f_layers = _layers_from_heap(fvec)
     n = f_layers[0].shape[0]
-    rec_heap = _r_vec_mat(buf, spec)
-    dec_heap = _r_vec_mat(buf, spec)
+    rec_heap = _r_vec_mat(buf, spec, "recombine matrices")
+    dec_heap = _r_vec_mat(buf, spec, "decompose matrices")
+    for heap in (rec_heap, dec_heap):
+        if heap.shape[0] != n:
+            raise SerializationError(
+                f"matrix heap has {heap.shape[0]} entries, "
+                f"expected {n} for an {n}-leaf tree"
+            )
     num_layers = max(n.bit_length() - 1, 0)
     rec_layers = _layers_from_heap(rec_heap)[:num_layers] if n > 1 else []
     dec_layers = _layers_from_heap(dec_heap)[:num_layers] if n > 1 else []
     maps = _r_maps(buf, spec)
     t = {}
-    t["xnn_s"] = _r_vec(buf, spec)
-    t["z0_s1"] = _r_vec(buf, spec)
-    t["z1_s0"] = _r_vec(buf, spec)
+    t["xnn_s"] = _r_vec(buf, spec, "xnn_s")
+    t["z0_s1"] = _r_vec(buf, spec, "z0_s1")
+    t["z1_s0"] = _r_vec(buf, spec, "z1_s0")
+    zlen = n // 2 if n > 1 else 0
+    for key, want in (("xnn_s", n), ("z0_s1", zlen), ("z1_s0", zlen)):
+        if t[key].shape[0] != want:
+            raise SerializationError(
+                f"{key} has {t[key].shape[0]} entries, expected {want} "
+                f"for an {n}-leaf tree"
+            )
     if compress:
-        t["xnn_s_inv"] = _host_batch_inv(spec, t["xnn_s"])
-        t["z0_inv_s1"] = _host_batch_inv(spec, t["z0_s1"])
-        t["z1_inv_s0"] = _host_batch_inv(spec, t["z1_s0"])
+        t["xnn_s_inv"] = _host_batch_inv(spec, t["xnn_s"], "xnn_s")
+        t["z0_inv_s1"] = _host_batch_inv(spec, t["z0_s1"], "z0_s1")
+        t["z1_inv_s0"] = _host_batch_inv(spec, t["z1_s0"], "z1_s0")
     else:
-        t["xnn_s_inv"] = _r_vec(buf, spec)
-        t["z0_inv_s1"] = _r_vec(buf, spec)
-        t["z1_inv_s0"] = _r_vec(buf, spec)
-    t["z0z0_rem_xnn_s"] = _r_vec(buf, spec)
-    t["z1z1_rem_xnn_s"] = _r_vec(buf, spec)
+        t["xnn_s_inv"] = _r_vec(buf, spec, "xnn_s_inv")
+        t["z0_inv_s1"] = _r_vec(buf, spec, "z0_inv_s1")
+        t["z1_inv_s0"] = _r_vec(buf, spec, "z1_inv_s0")
+    t["z0z0_rem_xnn_s"] = _r_vec(buf, spec, "z0z0_rem_xnn_s")
+    t["z1z1_rem_xnn_s"] = _r_vec(buf, spec, "z1z1_rem_xnn_s")
     return TreeSection(f_layers, rec_layers, dec_layers, maps, t)
 
 
@@ -366,9 +444,24 @@ def deserialize_fftree(field: str | FieldSpec, data: bytes, compress: bool = Tru
     sections = []
     while True:
         sections.append(_read_section(buf, spec, compress))
-        has_sub = buf.read(1)
-        if has_sub != b"\x01":
+        has_sub = _take(buf, 1, "subtree flag")
+        if has_sub == b"\x00":
             break
+        if has_sub != b"\x01":
+            raise SerializationError(
+                f"subtree flag must be 0x00 or 0x01, got {has_sub!r}"
+            )
+    for prev, cur in zip(sections, sections[1:]):
+        if cur.f_layers[0].shape[0] * 2 != prev.f_layers[0].shape[0]:
+            raise SerializationError(
+                "subtree chain sizes must halve: "
+                f"{prev.f_layers[0].shape[0]} -> {cur.f_layers[0].shape[0]}"
+            )
+    if sections[-1].f_layers[0].shape[0] != 1:
+        raise SerializationError(
+            "subtree chain must end at the 1-leaf tree "
+            f"(got {sections[-1].f_layers[0].shape[0]} leaves)"
+        )
 
     top = sections[0]
     n = top.f_layers[0].shape[0]
