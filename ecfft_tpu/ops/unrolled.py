@@ -72,6 +72,14 @@ MIN_FUSED_HALF = 1  # the reshape-based in-tile swap is cheap at any half
 
 SEG_STEPS = 64  # steps per jitted segment (bounds program size)
 
+# Mosaic allocates each cascade level's compute temps on the kernel's
+# scoped-vmem stack WITHOUT reuse across the unrolled level loop
+# (measured ~8.9 MB/level at L=16, tb=128 — an 11-level cascade OOM'd
+# the 96 MB scope), so _segment caps levels-per-kernel to this budget.
+# Module-level so tests can monkeypatch it to force small max_k and
+# cover the cascade-chunk boundary bookkeeping.
+CASCADE_VMEM_BUDGET = 60 << 20
+
 
 # ------------------------------------------------------- trace-time synth
 
@@ -567,12 +575,12 @@ def _segment(spec, meta, lo, hi, use_pallas, interpret, pool, x, D, iD):
     # pending run of consecutive in-tile butterfly levels (see
     # _fused_cascade): [start, halves, kinds, cwins, awins]
     pend = None
-    # Mosaic allocates each level's compute temps on the kernel's scoped-
-    # vmem stack WITHOUT reuse across the unrolled level loop (measured
-    # ~8.9 MB/level at L=16, tb=128 — an 11-level cascade OOM'd the 96 MB
-    # scope), so cap levels-per-kernel to a ~60 MB budget
+    # levels-per-cascade-kernel cap (see CASCADE_VMEM_BUDGET). The
+    # per-level estimate is anchored to the measured L=16/tb=128 point:
+    # 4 state-sized temps of (2L+2) u32 columns each per level; if
+    # aff1_tile/aff2_tile's temp count changes, re-measure the budget.
     per_level = TW * tb * 4 * (2 * spec.num_limbs + 2) * 4
-    max_k = max(1, (60 << 20) // per_level)
+    max_k = max(1, CASCADE_VMEM_BUDGET // per_level)
 
     def flush():
         nonlocal x, pend

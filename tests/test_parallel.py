@@ -22,7 +22,9 @@ _CACHE = {}
 
 def get():
     if not _CACHE:
-        _CACHE["tree"] = FFTree.build("m31", 32)
+        from ecfft_tpu.native import build_fftree_native
+
+        _CACHE["tree"] = build_fftree_native("m31", 32)
         _CACHE["host"] = build_host_fftree("m31", 32)
     return _CACHE["tree"], _CACHE["host"]
 

@@ -6,11 +6,12 @@ n=2^16 config fits one chip)."""
 import numpy as np
 
 import ecfft_tpu as ec
+from ecfft_tpu.native import build_fftree_native
 from ecfft_tpu.ops import schedule as sch
 
 
 def test_chunked_matches_unchunked():
-    tree = ec.build_fftree("m31", 64)
+    tree = build_fftree_native("m31", 64)
     tree.prepare((64,))
     rng = np.random.RandomState(3)
     coeffs = rng.randint(
@@ -37,7 +38,7 @@ def test_multi_segment_secp_montgomery_matches(monkeypatch):
     n=256 splits into many segments and assert the result is
     bit-identical to the single-segment run."""
     n = 256
-    tree = ec.build_fftree("secp256k1", n)
+    tree = build_fftree_native("secp256k1", n)
     tree.prepare((n,))
     rng = np.random.RandomState(7)
     vals = [[int(v) for v in row]
@@ -65,7 +66,7 @@ def test_multi_segment_exit_matches_oracle():
     from ecfft_tpu.host.fftree import build_host_fftree
 
     n = 4096
-    tree = ec.build_fftree("m31", n)
+    tree = build_fftree_native("m31", n)
     tree.prepare((n,))
     assert tree._scheds[("exit", n)].xs[0].shape[0] > 512, (
         "test no longer crosses the segment boundary; grow n")

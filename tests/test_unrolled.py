@@ -4,10 +4,12 @@ interpret mode. Small sizes only — the unrolled form trades compile time
 for runtime, which is the right trade on TPU (where bench.py's TPU==native
 gate covers it at full size) but slow on the CPU suite."""
 
+import os
 import random
 
 import jax
 import numpy as np
+import pytest
 
 import ecfft_tpu as ec
 from ecfft_tpu.native import build_fftree_native
@@ -51,6 +53,109 @@ def test_unrolled_matches_scan_secp_small():
     # TW=128, so _analyze rejects every level (start/A fail the %TW
     # alignment) — no fused level exists to check
     _roundtrip("secp256k1", 16, 2, check_fused=False)
+
+
+def test_cascade_chunk_boundary_m31(monkeypatch):
+    """Force a tiny CASCADE_VMEM_BUDGET so every in-tile cascade splits
+    at max_k=2 levels per kernel — covers the awins (ai-offset) pairing
+    of kind-1 levels across chunk boundaries (advisor r3 #2)."""
+    from ecfft_tpu.ops import unrolled as ur
+
+    tree = build_fftree_native("m31", 64)
+    tree.prepare((64,))
+    p = ec.FIELDS["m31"].p
+    rng = random.Random(5)
+    vals = [[rng.randrange(p) for _ in range(64)] for _ in range(4)]
+    enc = jax.numpy.asarray(np.asarray(tree.encode(vals)))
+    s = tree._scheds[("enter", 64)]
+    ref = np.asarray(
+        sch.run_schedule(tree.spec, tree._pool, s, enc, 128, 64, False))
+    # per_level at L=1, tb=4: TW*4*4*4*4 = 32768; budget 65536 -> max_k=2
+    monkeypatch.setattr(ur, "CASCADE_VMEM_BUDGET", 1 << 16)
+    got = np.asarray(
+        run_unrolled(tree.spec, tree._pool, s, enc, 128, 64, False,
+                     interpret=True))
+    assert np.array_equal(ref, got)
+
+
+@pytest.mark.skipif(not os.environ.get("ECFFT_HEAVY_TESTS"),
+                    reason="interpret-mode L=16 run at n=512 is "
+                    ">25 min on a 1-core box; set ECFFT_HEAVY_TESTS=1")
+def test_unrolled_fused_secp_multilimb():
+    """The multi-limb (L=16) fused kernels on a real schedule: at
+    n=512 the enter levels hit the in-tile cascade (_fused_cascade)
+    and the pair-DMA 2-mul final recombine (_fused_bf2, half >= TW),
+    bit-checked against the scan executor in interpret mode (VERDICT
+    r3 #4: these kernels are exactly the code that OOM'd the round-3
+    flagship and previously ran in no test). The 1-mul pair variant
+    (_fused_bf1) only appears at n >= 1024 — a ~20-min build on this
+    box — so it gets a direct kernel-level test below instead."""
+    from ecfft_tpu.ops.schedule import OP_AFFINE_C
+
+    n = 512
+    tree = build_fftree_native("secp256k1", n)
+    tree.prepare((n,))
+    p = ec.FIELDS["secp256k1"].p
+    rng = random.Random(7)
+    vals = [[rng.randrange(p) for _ in range(n)] for _ in range(2)]
+    enc = jax.numpy.asarray(np.asarray(tree.encode(vals)))
+    s = tree._scheds[("enter", n)]
+    meta = _meta(s)
+    ops = np.asarray(s.xs[0])
+    pair2 = tile = 0
+    for t, half in enumerate(meta.fusable):
+        if not half:
+            continue
+        if half >= 128 and int(ops[t]) == OP_AFFINE_C:
+            pair2 += 1
+        elif half < 128:
+            tile += 1
+    assert pair2 and tile, (pair2, tile)
+    ref = np.asarray(
+        sch.run_schedule(tree.spec, tree._pool, s, enc, 2 * n, n, False))
+    got = np.asarray(
+        run_unrolled(tree.spec, tree._pool, s, enc, 2 * n, n, False,
+                     interpret=True))
+    assert np.array_equal(ref, got)
+
+
+def test_fused_bf1_kernel_secp_multilimb():
+    """Direct kernel-level check of _fused_bf1 (1-mul pair butterfly,
+    half >= TW) at L=16: the DMA tiling and q/r partner indexing against
+    the same field tile-helper applied as plain XLA ops, for both ht=1
+    (one pair of TW-tiles) and ht=2 (partner two tiles away, exercising
+    the g -> (q, r) grid decomposition). Schedules only produce this op
+    at n >= 1024 where a tree build is minutes-scale, hence the direct
+    harness (VERDICT r3 #4)."""
+    from ecfft_tpu.fields import device as fd
+    from ecfft_tpu.ops.unrolled import TW, _fused_bf1, _tile_fns
+
+    spec = ec.FIELDS["secp256k1"]
+    aff1, _ = _tile_fns(spec)
+    rng = random.Random(11)
+    B, tb = 4, 4
+    for ht in (1, 2):
+        half = ht * TW
+        W = A = 2 * half
+        x = fd.encode(
+            spec, [[rng.randrange(spec.p) for _ in range(B)]
+                   for _ in range(W)])          # (W, B, L)
+        x = jax.numpy.transpose(x, (0, 2, 1))   # (W, L, B)
+        cwin = fd.encode(
+            spec, [rng.randrange(spec.p) for _ in range(A)])  # (A, L)
+        # ground truth: out[r] = x[r] + C[r]*x[r ^ half], via the same
+        # tile helper on (TW, L, tb) blocks in plain XLA
+        xb = np.asarray(x).reshape(2, ht, TW, spec.num_limbs, B)
+        cb = np.asarray(cwin).reshape(2, ht, TW, spec.num_limbs)
+        ref = np.stack([
+            np.asarray(aff1(jax.numpy.asarray(cb[q, r]),
+                            jax.numpy.asarray(xb[q, r]),
+                            jax.numpy.asarray(xb[1 - q, r])))
+            for q in range(2) for r in range(ht)
+        ]).reshape(W, spec.num_limbs, B)
+        got = np.asarray(_fused_bf1(spec, x, cwin, 0, half, A, tb,
+                                    True))
+        assert np.array_equal(ref, got), ht
 
 
 def test_unrolled_chunked_matches():
