@@ -434,6 +434,16 @@ def build_host_fftree(field_name: str, n: int) -> HostFFTree | None:
     return HostFFTree.build(leaves, maps, spec.p)
 
 
+# Known maximal-2-adicity generators, field.order -> (b, x, y, adicity):
+# the same role as the reference's hardcoded curve constants
+# (lib.rs:45-59). Each seed is re-VERIFIED at build time (on-curve +
+# exact 2-adicity), so a wrong entry falls back to the exhaustive
+# search rather than corrupting the tree.
+_EVEN_GENERATOR_SEEDS = {
+    512: (2, 7, 466, 9),  # GF(2^9), found by the exhaustive search below
+}
+
+
 def build_host_fftree_even(field, n: int) -> HostFFTree | None:
     """FFTree over a binary field GF(2^m) — the reference's
     `GoodCurve::Even` capability (ec.rs:28-35,63-73) taken all the way to
@@ -446,6 +456,7 @@ def build_host_fftree_even(field, n: int) -> HostFFTree | None:
     """
     from ecfft_tpu.ec.binary import (
         GoodCurveEven,
+        PointB,
         curve_points,
         find_isogeny_chain_even,
     )
@@ -459,14 +470,25 @@ def build_host_fftree_even(field, n: int) -> HostFFTree | None:
     # no ±-pairs and all leaf x-coordinates are distinct (the analogue of
     # the reference's coset-offset choice, lib.rs:45-59).
     best, best_k = None, 0
-    for b in range(1, field.order):
+    seed = _EVEN_GENERATOR_SEEDS.get(field.order)
+    if seed is not None:
+        b, x, y, k = seed
         curve = GoodCurveEven.new_even(field, b)
-        for pt in curve_points(curve):
-            k = two_adicity(pt)
-            if k is not None and k > best_k:
+        # the seed is VERIFIED, not trusted: on-curve + exact 2-adicity
+        if curve.contains(x, y):
+            pt = PointB(x, y, curve)
+            if two_adicity(pt) == k:
                 best, best_k = pt, k
-        if best_k >= log_n + 2:
-            break
+    if best is None or best_k < log_n + 2:
+        best, best_k = None, 0
+        for b in range(1, field.order):
+            curve = GoodCurveEven.new_even(field, b)
+            for pt in curve_points(curve):
+                k = two_adicity(pt)
+                if k is not None and k > best_k:
+                    best, best_k = pt, k
+            if best_k >= log_n + 2:
+                break
     if best is None or best_k < log_n + 2:
         return None  # subgroup two-adicity insufficient (lib.rs:62-64)
     # halve down so the generator's order is exactly n
