@@ -190,6 +190,9 @@ def _main_with_fallback():
     except Exception as e:
         if os.environ.get("ECFFT_EXECUTOR", "scan") == "scan":
             raise
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         log(f"executor {os.environ['ECFFT_EXECUTOR']!r} failed "
             f"({type(e).__name__}); retrying on the scan executor in a "
             "fresh process")

@@ -491,7 +491,10 @@ class FFTree:
         if hasattr(self, "_pool"):
             self._pool = jax.device_put(self._pool, device)
             self._scheds = {
-                k: v._replace(xs=jax.device_put(v.xs, device))
+                k: v._replace(
+                    xs=jax.device_put(v.xs, device),
+                    host_xs=tuple(np.asarray(a) for a in v.xs),
+                )
                 for k, v in self._scheds.items()
             }
         return self

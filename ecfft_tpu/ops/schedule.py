@@ -153,6 +153,11 @@ class Schedule(NamedTuple):
     bs_max: int
     xs: tuple
     out_perm: np.ndarray | None = None
+    # host (numpy) copies of ``xs``, kept when the device copies move to
+    # an accelerator (fftree.place_on): the unrolled executor reads every
+    # index at trace time, and pulling device-resident tensors back
+    # through a remote-TPU tunnel measures in MINUTES for KB of data
+    host_xs: tuple | None = None
 
 
 def _synth_np(cp, W: int) -> np.ndarray:

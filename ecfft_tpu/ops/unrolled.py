@@ -426,8 +426,11 @@ class _SchedMeta:
     __slots__ = ("xs", "W", "A", "bs_max", "out_perm", "fusable")
 
     def __init__(self, sched: Schedule):
-        ops_a, starts, colp, dp, rid = (np.asarray(a) for a in sched.xs[:5])
-        bank = np.asarray(sched.xs[5])
+        # prefer host copies: sched.xs may live on a remote accelerator,
+        # and this executor consumes every index at trace time
+        src = sched.host_xs if sched.host_xs is not None else sched.xs
+        ops_a, starts, colp, dp, rid = (np.asarray(a) for a in src[:5])
+        bank = np.asarray(src[5])
         self.xs = dict(ops=ops_a, starts=starts, colp=colp, dp=dp,
                        rid=rid, bank=bank)
         self.W = sched.W
@@ -539,6 +542,11 @@ _SEG_CACHE: dict = {}
 
 
 def _run_chunk(spec, pool, meta, x, use_pallas, interpret):
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    dbg = _os.environ.get("ECFFT_UNROLL_DEBUG")
     nsteps = len(meta.xs["ops"])
     L = spec.num_limbs
     D = jnp.zeros((max(meta.bs_max, 1), L), jnp.uint32)
@@ -548,6 +556,7 @@ def _run_chunk(spec, pool, meta, x, use_pallas, interpret):
         hi = min(lo + SEG_STEPS, nsteps)
         key = (id(meta), lo, hi, B, use_pallas, interpret, spec.name)
         fn = _SEG_CACHE.get(key)
+        t0 = _time.time() if dbg else 0.0
         if fn is None:
             fn = jax.jit(
                 partial(_segment, spec, meta, lo, hi, use_pallas, interpret),
@@ -555,6 +564,10 @@ def _run_chunk(spec, pool, meta, x, use_pallas, interpret):
             )
             _SEG_CACHE[key] = fn
         x, D, iD = fn(pool, x, D, iD)
+        if dbg:
+            jax.block_until_ready(x)
+            print(f"[unroll] seg {lo}:{hi}/{nsteps} {_time.time()-t0:.2f}s",
+                  file=_sys.stderr, flush=True)
     return x
 
 
