@@ -76,6 +76,55 @@ def test_sharded_degree_matches():
     assert list(np.asarray(stree.degree(evals))) == degs
 
 
+def test_sharded_enter_hlo_has_no_collectives():
+    """The zero-collectives claim (sharding.py:13-14), asserted against
+    compiled HLO: batch-sharded ENTER with replicated tables must lower
+    to a pure SPMD program — no all-gather/all-reduce/collective-permute
+    anywhere (VERDICT r4 #7)."""
+    tree, host = get()
+    tree.prepare((32,))
+    mesh = make_mesh()
+    stree = ShardedFFTree(tree, mesh)
+    sharded = shard_batch(
+        mesh, jax.numpy.zeros((16, 32, 1), jax.numpy.uint32))
+    with mesh:
+        txt = (jax.jit(stree.tree.enter).lower(sharded)
+               .compile().as_text())
+    bad = [op for op in ("all-reduce", "all-gather", "collective-permute",
+                         "all-to-all", "reduce-scatter") if op in txt]
+    assert not bad, f"sharded ENTER HLO contains collectives: {bad}"
+
+
+def test_sharded_redc_mod_vanish_exact():
+    """REDC/MOD/VANISH under batch sharding (previously never sharded
+    anywhere — VERDICT r4 weak #4): sharded outputs must equal the
+    unsharded schedule-machine outputs bit-for-bit."""
+    tree, host = get()
+    tree.prepare((32,))
+    p = FIELDS["m31"].p
+    rng = random.Random(5)
+    n, B = 32, 16
+    coeffs = [[rng.randrange(p) for _ in range(n)] for _ in range(B)]
+    evals = tree.enter(jax.numpy.asarray(tree.encode(coeffs)))
+    ref_r0 = np.asarray(tree.redc_z0(evals))
+    ref_r1 = np.asarray(tree.redc_z1(evals))
+    ref_md = np.asarray(tree.modular_reduce(evals))
+    pts = [[rng.randrange(p) for _ in range(n // 2)] for _ in range(B)]
+    pts_enc = jax.numpy.asarray(tree.encode(pts))
+    ref_vz = np.asarray(tree.vanish(pts_enc))
+
+    mesh = make_mesh()
+    stree = ShardedFFTree(tree, mesh)
+    assert np.array_equal(np.asarray(stree.redc_z0(evals)), ref_r0)
+    assert np.array_equal(np.asarray(stree.redc_z1(evals)), ref_r1)
+    assert np.array_equal(np.asarray(stree.modular_reduce(evals)), ref_md)
+    assert np.array_equal(np.asarray(stree.vanish(pts_enc)), ref_vz)
+    # and the host oracle agrees on one lane
+    ev0 = host.enter(coeffs[0])
+    assert list(tree.decode(ref_r0[0])) == host.redc_z0(ev0, host.xnn_s)
+    assert list(tree.decode(ref_vz[0])) == host.vanish(pts[0])
+
+
 def test_sharded_secp_scheduled_with_chunking():
     """The production path under sharding: secp256k1 n=256 on the
     schedule machine over the 8-device mesh, with batch CHUNKING active

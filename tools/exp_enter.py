@@ -30,12 +30,12 @@ def main():
     BATCH = int(os.environ.get("ECFFT_BENCH_BATCH", "256"))
     REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    cache = os.path.join(here, f".bench_tree_{FIELD}_{N}.npz")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(root, f".bench_tree_{FIELD}_{N}.npz")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         tree = load_tables_npz(cache)
-        tree.prepare((N,), cache_dir=here)
+        tree.prepare((N,), cache_dir=root)
     tree.place_on(jax.devices()[0])
 
     spec = ec.FIELDS[FIELD]
