@@ -196,6 +196,101 @@ def _make_kernel1(spec: FieldSpec):
     return kernel
 
 
+# ------------------------------------------------- in-place step kernels
+#
+# The scan executor's step used to be: gather x2 → slice x1 → muladd
+# kernel → dynamic_update_slice back into the state. The slice and the
+# update-slice are two full window traversals of pure data movement
+# (measured 4.5 + 11 ms at the flagship shape where the muladd itself is
+# 33.6 ms). These variants write the result DIRECTLY into the state
+# buffer (input_output_aliases) at a RUNTIME window start (scalar-
+# prefetched block offset — the one compiled scan program serves every
+# step), and the self-read variant also reads x1 straight from the
+# state block, eliminating both movement steps.
+#
+# The in-place write is race-free: block (g, j) of the output depends
+# only on block (g, j) of the aliased state input (x2/x1g are separate
+# materialized gather temps), so the automatic pipelining can never
+# observe a partially-written dependency.
+
+
+def _ip_tiles(W: int, A: int, B: int):
+    TB = 128 if B % 128 == 0 else B
+    TW = 32 if (W % 128 == 0 and A % 128 == 0 and TB % 128 == 0) else 8
+    return TW, TB
+
+
+def _ip_call(spec, kernel, state, tensors, start, A, interpret):
+    """Shared pallas_call plumbing for the in-place step kernels:
+    ``tensors`` = coefficient rows ((A, L)) and window tensors
+    ((A, L, B)); the state rides last, aliased to the output, its
+    blocks addressed at the scalar-prefetched window start."""
+    W, L, B = state.shape
+    TW, TB = _ip_tiles(W, A, B)
+    assert W % TW == 0 and A % TW == 0
+    coeff_spec = pl.BlockSpec((TW, L), lambda g, j, s: (g, 0))
+    win_spec = pl.BlockSpec((TW, L, TB), lambda g, j, s: (g, 0, j))
+    st_spec = pl.BlockSpec((TW, L, TB), lambda g, j, s: (s[0] + g, 0, j))
+    in_specs = [coeff_spec if t.ndim == 2 else win_spec
+                for t in tensors] + [st_spec]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(A // TW, B // TB),
+        in_specs=in_specs,
+        out_specs=st_spec,
+    )
+    start_blk = (start // TW).astype(jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((W, L, B), jnp.uint32),
+        grid_spec=grid_spec,
+        # alias the STATE input (last tensor operand; +2 for the scalar
+        # arg and the leading coefficient/window operands) to the output
+        input_output_aliases={1 + len(tensors): 0},
+        interpret=interpret,
+    )(start_blk, *tensors, state)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def pallas_aff1s_ip(spec: FieldSpec, C, state, x2, start,
+                    interpret: bool = False):
+    """state[start+q] ← state[start+q] + C·x2 in place (OP_AFF1S)."""
+    h = _make_helpers(spec)
+
+    def kernel(s_ref, c_ref, x2_ref, st_ref, o_ref):
+        o_ref[...] = aff1_tile(h, c_ref[...], st_ref[...], x2_ref[...])
+
+    return _ip_call(spec, kernel, state, (C, x2), start,
+                    x2.shape[0], interpret)
+
+
+@partial(jax.jit, static_argnums=(0, 6))
+def pallas_aff1g_ip(spec: FieldSpec, C, state, x1, x2, start,
+                    interpret: bool = False):
+    """state[start+q] ← x1 + C·x2 in place (OP_AFF1, gathered x1)."""
+    h = _make_helpers(spec)
+
+    def kernel(s_ref, c_ref, x1_ref, x2_ref, st_ref, o_ref):
+        o_ref[...] = aff1_tile(h, c_ref[...], x1_ref[...], x2_ref[...])
+
+    return _ip_call(spec, kernel, state, (C, x1, x2), start,
+                    x2.shape[0], interpret)
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def pallas_aff2g_ip(spec: FieldSpec, A_, B_, state, x1, x2, start,
+                    interpret: bool = False):
+    """state[start+q] ← A·x1 + B·x2 in place (OP_AFFINE, gathered x1)."""
+    h = _make_helpers(spec)
+
+    def kernel(s_ref, a_ref, b_ref, x1_ref, x2_ref, st_ref, o_ref):
+        o_ref[...] = aff2_tile(h, a_ref[...], b_ref[...], x1_ref[...],
+                               x2_ref[...])
+
+    return _ip_call(spec, kernel, state, (A_, B_, x1, x2), start,
+                    x2.shape[0], interpret)
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def pallas_muladd1(spec: FieldSpec, C, x1, x2, interpret: bool = False):
     """x1 + C·x2 with C: (W, L) coefficient rows; x1, x2: (W, L, Bt)."""

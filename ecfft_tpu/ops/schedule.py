@@ -1606,37 +1606,84 @@ def _run_segment(spec: FieldSpec, pool, sched_xs, x, D, iD,
         def take_c(tab, idx):
             return jnp.take(tab, jnp.clip(idx, 0, bsx), axis=0)
 
-        def aff2_with(Ac, Bc, x1):
-            if pallas_ok:
-                from ecfft_tpu.ops.pallas_step import pallas_muladd2
-
-                return pallas_muladd2(spec, Ac, Bc, x1, x2)
-            return _muladd2_cols(spec, Ac[:, :, None], x1,
-                                 Bc[:, :, None], x2)
-
-        def aff1_with(Cc, x1):
-            if pallas_ok:
-                from ecfft_tpu.ops.pallas_step import pallas_muladd1
-
-                return pallas_muladd1(spec, Cc, x1, x2)
-            return _muladd1_cols(spec, Cc[:, :, None], x1, x2)
+        def pool_row(idx):
+            return jnp.take(pool, jnp.clip(idx, 0, P - 1), axis=0)
 
         def gx1(_g1=g1):
             return jnp.take(state, jnp.clip(_g1, 0, state.shape[0] - 1),
                             axis=0)
 
-        def slx1():
-            return jax.lax.dynamic_slice(
-                state, (start, 0, 0), (A,) + state.shape[1:])
+        def ret(out):
+            """Write the computed window back (the non-in-place ops)."""
+            return jax.lax.dynamic_update_slice(state, out, (start, 0, 0))
 
-        def affine(_):
-            return aff2_with(jnp.take(pool, jnp.clip(a_i, 0, P - 1),
-                                      axis=0),
-                             jnp.take(pool, jnp.clip(b_i, 0, P - 1),
-                                      axis=0), gx1())
+        if pallas_ok:
+            # the in-place step kernels (ops/pallas_step.py): the output
+            # is written straight into the state buffer at the scalar-
+            # prefetched window start, and the self-read (OP_AFF1S*)
+            # variants also read x1 from the state block itself — two
+            # full window traversals of pure movement (update-slice +
+            # slice) gone per step vs the out-of-place kernels
+            from ecfft_tpu.ops.pallas_step import (
+                pallas_aff1g_ip, pallas_aff1s_ip, pallas_aff2g_ip)
+
+            def affine(_):
+                return pallas_aff2g_ip(spec, pool_row(a_i), pool_row(b_i),
+                                       state, gx1(), x2, start)
+
+            def affine_c(_):
+                return pallas_aff2g_ip(spec, take_c(CAx, a_i),
+                                       take_c(CBx, b_i), state, gx1(),
+                                       x2, start)
+
+            def aff1(_):
+                return pallas_aff1g_ip(spec, pool_row(b_i), state, gx1(),
+                                       x2, start)
+
+            def aff1_c(_):
+                return pallas_aff1g_ip(spec, take_c(CBx, b_i), state,
+                                       gx1(), x2, start)
+
+            def aff1s(_):
+                return pallas_aff1s_ip(spec, pool_row(b_i), state, x2,
+                                       start)
+
+            def aff1s_c(_):
+                return pallas_aff1s_ip(spec, take_c(CBx, b_i), state, x2,
+                                       start)
+        else:
+            def slx1():
+                return jax.lax.dynamic_slice(
+                    state, (start, 0, 0), (A,) + state.shape[1:])
+
+            def affine(_):
+                return ret(_muladd2_cols(spec, pool_row(a_i)[:, :, None],
+                                         gx1(), pool_row(b_i)[:, :, None],
+                                         x2))
+
+            def affine_c(_):
+                return ret(_muladd2_cols(
+                    spec, take_c(CAx, a_i)[:, :, None], gx1(),
+                    take_c(CBx, b_i)[:, :, None], x2))
+
+            def aff1(_):
+                return ret(_muladd1_cols(spec, pool_row(b_i)[:, :, None],
+                                         gx1(), x2))
+
+            def aff1_c(_):
+                return ret(_muladd1_cols(
+                    spec, take_c(CBx, b_i)[:, :, None], gx1(), x2))
+
+            def aff1s(_):
+                return ret(_muladd1_cols(spec, pool_row(b_i)[:, :, None],
+                                         slx1(), x2))
+
+            def aff1s_c(_):
+                return ret(_muladd1_cols(
+                    spec, take_c(CBx, b_i)[:, :, None], slx1(), x2))
 
         def mul(_):
-            return _mulss(spec, gx1(), x2)
+            return ret(_mulss(spec, gx1(), x2))
 
         def cmpsel(_):
             c1 = jnp.take(state, jnp.clip(a_i, 0, state.shape[0] - 1),
@@ -1644,29 +1691,11 @@ def _run_segment(spec: FieldSpec, pool, sched_xs, x, D, iD,
             c2 = jnp.take(state, jnp.clip(b_i, 0, state.shape[0] - 1),
                           axis=0)
             comp = jnp.all(c1 == c2, axis=(0, 1))  # (B,)
-            return jnp.where(comp[None, None, :], gx1(), x2)
+            return ret(jnp.where(comp[None, None, :], gx1(), x2))
 
-        def aff1(_):
-            return aff1_with(jnp.take(pool, jnp.clip(b_i, 0, P - 1),
-                                      axis=0), gx1())
-
-        def aff1s(_):
-            return aff1_with(jnp.take(pool, jnp.clip(b_i, 0, P - 1),
-                                      axis=0), slx1())
-
-        def aff1s_c(_):
-            return aff1_with(take_c(CBx, b_i), slx1())
-
-        def aff1_c(_):
-            return aff1_with(take_c(CBx, b_i), gx1())
-
-        def affine_c(_):
-            return aff2_with(take_c(CAx, a_i), take_c(CBx, b_i), gx1())
-
-        out = jax.lax.switch(
+        state = jax.lax.switch(
             op_t, [affine, mul, cmpsel, aff1, aff1s, aff1s_c, aff1_c,
                    affine_c], None)
-        state = jax.lax.dynamic_update_slice(state, out, (start, 0, 0))
         return (state, D, iD), None
 
     def run_one(args):

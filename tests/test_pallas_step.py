@@ -120,6 +120,75 @@ def test_pallas_muladd1_mont_matches_ints():
             assert got[w][b] == exp
 
 
+def _mk_state(spec, W, B, rng):
+    vals = [[rng.randrange(spec.p) for _ in range(B)] for _ in range(W)]
+    return vals, jnp.transpose(fd.encode(spec, vals), (0, 2, 1))
+
+
+def test_pallas_inplace_aff1s_matches_ints():
+    """In-place self-read 1-mul step (OP_AFF1S): the window
+    [start, start+A) becomes state + C·x2 and every row outside the
+    window is untouched."""
+    from ecfft_tpu.ops.pallas_step import pallas_aff1s_ip
+
+    spec = FIELDS["secp256k1"]
+    p = spec.p
+    W, A, B, start = 32, 16, 4, 8
+    rng = random.Random(17)
+    st_i, state = _mk_state(spec, W, B, rng)
+    x2_i, x2 = _mk_state(spec, A, B, rng)
+    C_i = [rng.randrange(p) for _ in range(A)]
+    C = fd.encode(spec, C_i)
+    out = pallas_aff1s_ip(spec, C, state, x2, jnp.int32(start), True)
+    got = fd.decode(spec, jnp.transpose(out, (0, 2, 1)))
+    for w in range(W):
+        for b in range(B):
+            if start <= w < start + A:
+                q = w - start
+                exp = (st_i[w][b] + C_i[q] * x2_i[q][b]) % p
+            else:
+                exp = st_i[w][b]
+            assert got[w][b] == exp, (w, b)
+
+
+def test_pallas_inplace_aff1g_and_aff2g_match_ints():
+    """In-place gathered-x1 variants (OP_AFF1 / OP_AFFINE)."""
+    from ecfft_tpu.ops.pallas_step import pallas_aff1g_ip, pallas_aff2g_ip
+
+    spec = FIELDS["secp256k1"]
+    p = spec.p
+    W, A, B, start = 32, 16, 4, 16
+    rng = random.Random(19)
+    st_i, state = _mk_state(spec, W, B, rng)
+    x1_i, x1 = _mk_state(spec, A, B, rng)
+    x2_i, x2 = _mk_state(spec, A, B, rng)
+    A_i = [rng.randrange(p) for _ in range(A)]
+    B_i = [rng.randrange(p) for _ in range(A)]
+    Ac = fd.encode(spec, A_i)
+    Bc = fd.encode(spec, B_i)
+    out = pallas_aff1g_ip(spec, Bc, state, x1, x2, jnp.int32(start), True)
+    got = fd.decode(spec, jnp.transpose(out, (0, 2, 1)))
+    for w in range(W):
+        for b in range(B):
+            if start <= w < start + A:
+                q = w - start
+                exp = (x1_i[q][b] + B_i[q] * x2_i[q][b]) % p
+            else:
+                exp = st_i[w][b]
+            assert got[w][b] == exp, (w, b)
+    out2 = pallas_aff2g_ip(spec, Ac, Bc, state, x1, x2, jnp.int32(start),
+                           True)
+    got2 = fd.decode(spec, jnp.transpose(out2, (0, 2, 1)))
+    for w in range(W):
+        for b in range(B):
+            if start <= w < start + A:
+                q = w - start
+                exp = (A_i[q] * x1_i[q][b] + B_i[q] * x2_i[q][b]) % p
+            else:
+                exp = st_i[w][b]
+            assert got2[w][b] == exp, (w, b)
+
+
 def test_pallas_rejects_unpadded_width():
     spec = FIELDS["secp256k1"]
     z = jnp.zeros((10, 16, 4), jnp.uint32)
