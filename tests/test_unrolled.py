@@ -4,12 +4,10 @@ interpret mode. Small sizes only — the unrolled form trades compile time
 for runtime, which is the right trade on TPU (where bench.py's TPU==native
 gate covers it at full size) but slow on the CPU suite."""
 
-import os
 import random
 
 import jax
 import numpy as np
-import pytest
 
 import ecfft_tpu as ec
 from ecfft_tpu.native import build_fftree_native
@@ -78,45 +76,65 @@ def test_cascade_chunk_boundary_m31(monkeypatch):
     assert np.array_equal(ref, got)
 
 
-@pytest.mark.skipif(not os.environ.get("ECFFT_HEAVY_TESTS"),
-                    reason="interpret-mode L=16 run at n=512 is "
-                    ">25 min on a 1-core box; set ECFFT_HEAVY_TESTS=1")
-def test_unrolled_fused_secp_multilimb():
-    """The multi-limb (L=16) fused kernels on a real schedule: at
-    n=512 the enter levels hit the in-tile cascade (_fused_cascade)
-    and the pair-DMA 2-mul final recombine (_fused_bf2, half >= TW),
-    bit-checked against the scan executor in interpret mode (VERDICT
-    r3 #4: these kernels are exactly the code that OOM'd the round-3
-    flagship and previously ran in no test). The 1-mul pair variant
-    (_fused_bf1) only appears at n >= 1024 — a ~20-min build on this
-    box — so it gets a direct kernel-level test below instead."""
+def test_unrolled_fused_secp_multilimb(monkeypatch):
+    """ALL THREE multi-limb (L=16) fused kernels on a real schedule
+    (VERDICT r3 #4 / r4 #4: these kernels are exactly the code that
+    OOM'd the round-3 flagship and previously ran in no completed test).
+
+    At the production tile width (TW=128) the smallest schedule that
+    emits every fused form is n=512 — interpret-mode L=16 at that size
+    exceeds 25 min on a 1-core box, which kept this coverage env-gated
+    (and hence never run) through round 4. Shrinking TW to 8 makes the
+    secp n=64 ENTER schedule emit the full surface (measured: 2 pair-DMA
+    2-mul recombines via _fused_bf2, 2 pair-DMA 1-mul levels via
+    _fused_bf1, 21 in-tile cascade levels via _fused_cascade) at ~20x
+    less interpret-mode work — the kernels are tile-size-generic, so the
+    same code paths run, just on smaller blocks. CASCADE_VMEM_BUDGET is
+    capped so cascades chunk at ~3 levels/kernel (the flagship regime;
+    one unchunked 21-level cascade would also be a pathological XLA:CPU
+    compile). Bit-checked against the scan executor."""
+    from ecfft_tpu.ops import unrolled as ur
     from ecfft_tpu.ops.schedule import OP_AFFINE_C
 
-    n = 512
-    tree = build_fftree_native("secp256k1", n)
-    tree.prepare((n,))
-    p = ec.FIELDS["secp256k1"].p
-    rng = random.Random(7)
-    vals = [[rng.randrange(p) for _ in range(n)] for _ in range(2)]
-    enc = jax.numpy.asarray(np.asarray(tree.encode(vals)))
-    s = tree._scheds[("enter", n)]
-    meta = _meta(s)
-    ops = np.asarray(s.xs[0])
-    pair2 = tile = 0
-    for t, half in enumerate(meta.fusable):
-        if not half:
-            continue
-        if half >= 128 and int(ops[t]) == OP_AFFINE_C:
-            pair2 += 1
-        elif half < 128:
-            tile += 1
-    assert pair2 and tile, (pair2, tile)
-    ref = np.asarray(
-        sch.run_schedule(tree.spec, tree._pool, s, enc, 2 * n, n, False))
-    got = np.asarray(
-        run_unrolled(tree.spec, tree._pool, s, enc, 2 * n, n, False,
-                     interpret=True))
-    assert np.array_equal(ref, got)
+    monkeypatch.setattr(ur, "TW", 8)
+    # max_k=3 at TW=8, tb=2, L=16 (per_level = 8*2*4*34*4 = 8704 B)
+    monkeypatch.setattr(ur, "CASCADE_VMEM_BUDGET", 1 << 15)
+    ur._META_CACHE.clear()
+    ur._SEG_CACHE.clear()
+    try:
+        n = 64
+        tree = build_fftree_native("secp256k1", n)
+        tree.prepare((n,))
+        p = ec.FIELDS["secp256k1"].p
+        rng = random.Random(7)
+        vals = [[rng.randrange(p) for _ in range(n)] for _ in range(2)]
+        enc = jax.numpy.asarray(np.asarray(tree.encode(vals)))
+        s = tree._scheds[("enter", n)]
+        meta = _meta(s)
+        ops = np.asarray(s.xs[0])
+        pair2 = pair1 = tile = 0
+        for t, half in enumerate(meta.fusable):
+            if not half:
+                continue
+            if half >= ur.TW and int(ops[t]) == OP_AFFINE_C:
+                pair2 += 1
+            elif half >= ur.TW:
+                pair1 += 1
+            else:
+                tile += 1
+        assert pair2 and pair1 and tile, (pair2, pair1, tile)
+        ref = np.asarray(
+            sch.run_schedule(tree.spec, tree._pool, s, enc, 2 * n, n, False))
+        got = np.asarray(
+            run_unrolled(tree.spec, tree._pool, s, enc, 2 * n, n, False,
+                         interpret=True))
+        assert np.array_equal(ref, got)
+    finally:
+        # TW=8-keyed entries must not leak: _SEG_CACHE keys use id(meta),
+        # which a future object could reuse after this test's tree is
+        # collected
+        ur._META_CACHE.clear()
+        ur._SEG_CACHE.clear()
 
 
 def test_fused_bf1_kernel_secp_multilimb():
