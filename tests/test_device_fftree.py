@@ -181,3 +181,32 @@ def test_canonical_mod_scheduled_path(trees):
     assert list(dev.decode(fast_r1[0])) == host.redc_z1(vals, host.xnn_s)
     with pytest.raises(TypeError):
         dev.modular_reduce(enc, a)
+
+
+def test_device_bootstrap_midscale_matches_native():
+    """Mid-scale certification of the DEVICE construction path (VERDICT
+    r4 #8): FFTree.build at m31 n=2^12 — 13 size levels through the full
+    jitted bootstrap (_z_step at up to n=2^11 windows) — must produce
+    bit-identical tables to the native C++ builder, every table family
+    at every level (incl. the nested extend-matrix planes). Production
+    trees are built natively (bench.py, serialize_native); this pins the
+    device bootstrap as a certified equal at non-toy scale.
+    ~41 s warm / ~134 s cold on the 1-core CPU box (compile-dominated)."""
+    import jax
+
+    from ecfft_tpu.native import build_fftree_native
+
+    n = 1 << 12
+    dev = FFTree.build("m31", n)
+    nat = build_fftree_native("m31", n)
+    m = 2
+    while m <= n:
+        dt, nt = dev.tables[m], nat.tables[m]
+        assert set(dt.keys()) == set(nt.keys()), m
+        for k in dt:
+            dl = jax.tree_util.tree_leaves(dt[k])
+            nl = jax.tree_util.tree_leaves(nt[k])
+            assert len(dl) == len(nl), (m, k)
+            for a, b in zip(dl, nl):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (m, k)
+        m *= 2
