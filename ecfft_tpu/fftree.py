@@ -533,6 +533,29 @@ class FFTree:
                 chunk = max_lanes
                 while B % chunk:
                     chunk -= 128
+            # preflight the PHYSICAL single-buffer size: the TPU tiles a
+            # (W, L, B) u32 buffer as T(8,128) on the trailing dims, so
+            # the limb dim pads to a multiple of 8 and the lane dim to
+            # 128 — one secp n=2^20 state is 17.18 GB at ANY batch ≤ 128
+            # (measured: bench_r05_n20.log). Fail with the envelope
+            # spelled out instead of a 10-minute compile ending in an
+            # opaque XLA allocation error.
+            from ecfft_tpu.errors import SizeError
+
+            hbm = float(os.environ.get("ECFFT_HBM_BYTES", 16e9))
+            bc = chunk if chunk is not None else B
+            phys = sched.W * -(-L // 8) * 8 * -(-bc // 128) * 128 * 4
+            if phys > hbm:
+                raise SizeError(
+                    f"one (W={sched.W}, L={L}, B={bc}) state buffer is "
+                    f"{phys / 1e9:.2f} GB after TPU tile padding "
+                    f"(limb dim -> x8 sublanes, batch -> x128 lanes) — "
+                    f"over the chip's {hbm / 1e9:.0f} GB HBM at any "
+                    f"batch (padding floors the cost at B=128). This "
+                    f"size needs n-axis sharding or a smaller n; "
+                    f"single-chip envelope for this field is documented "
+                    f"in bench_r05_n20.log. Override the limit with "
+                    f"ECFFT_HBM_BYTES.")
         res = sch.run_schedule(self.spec, self._pool, sched, payload,
                                one_pos, m_out, use_pallas, chunk)
         return res.reshape(lead + res.shape[-2:])

@@ -78,3 +78,35 @@ def test_multi_segment_exit_matches_oracle():
     got = [[int(v) for v in row]
            for row in tree.decode(tree.exit(tree.encode(evals)))]
     assert got == coeffs
+
+
+def test_oversized_state_preflight(monkeypatch):
+    """The single-buffer HBM preflight (fftree.py::_run_sched): a state
+    whose TILE-PADDED physical size exceeds the chip's HBM must raise a
+    typed SizeError BEFORE any compile/execute — the secp n=2^20 lesson
+    (bench_r05_n20.log: 17.18 GB at any batch, 10-min compile, opaque
+    XLA allocation error). Faking the TPU backend is safe because the
+    check fires before run_schedule."""
+    import jax
+
+    import pytest as _pytest
+
+    from ecfft_tpu.errors import SizeError
+
+    n = 64
+    tree = build_fftree_native("secp256k1", n)
+    tree.prepare((n,))
+    enc = tree.encode([[1] * n])
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # W=130, L=16, B=1 -> padded phys = 130*16*128*4 = 1.06 MB; set the
+    # "HBM" just below it
+    monkeypatch.setenv("ECFFT_HBM_BYTES", str(int(5e5)))
+    with _pytest.raises(SizeError, match="tile padding"):
+        tree.enter(enc)
+    # and comfortably above: must NOT raise from the preflight (pallas
+    # on the CPU backend would fail later, so only check the guard path
+    # by restoring a real budget and a fake backend barely above)
+    monkeypatch.setenv("ECFFT_HBM_BYTES", str(int(1e12)))
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    out = tree.enter(enc)
+    assert out.shape == (1, n, 16)
