@@ -1427,38 +1427,103 @@ def run_schedule(spec: FieldSpec, pool, sched: Schedule, batch,
     nsteps = int(scalars[0].shape[0])
     A = int(bank.shape[1])
     seg_max = max(1, min(512, STEP_ROW_ENVELOPE // max(A, 1)))
-    # EVERY segment gets the same step count (the tail padded with
-    # passthrough steps), so all segments of a schedule — and any other
-    # schedule sharing (W, A, seg, bank width) — reuse ONE compiled
-    # program. Beyond compile time, this matters for stability: XLA:CPU's
-    # compiler was observed to segfault after compiling many distinct
-    # large scan programs in one long-lived process.
-    nseg = -(-nsteps // seg_max)
-    seg = -(-nsteps // nseg)
-    pad = nseg * seg - nsteps
-    if pad:
-        scalars = _pad_steps(scalars, pad)
+    # Segmentation: steps are grouped into runs of IDENTICAL opcode
+    # (host-visible in the schedule data), each piece jitted with the
+    # opcode as a static arg so the step body is that single branch —
+    # no 8-way lax.switch in the scan. The switch was measured 1.95×
+    # slower per step at the flagship shape (ENTER secp n=2^16 b=128):
+    # XLA lays out every branch's operands conservatively and inserts
+    # per-step relayout copies of the window-sized gather temps.
+    # Run lengths are canonicalized to powers of two (an 18-step run
+    # executes as 16+2) so distinct compiled programs stay bounded at
+    # ~log2(seg_max) per opcode — and pieces are SHARED across
+    # schedules of the same shape (ENTER and EXIT reuse each other's
+    # (op, len) programs).
+    #
+    # Default: run-split on TPU (where the switch costs 1.95×), the
+    # legacy single-program switch interpreter on CPU — the split's
+    # ~6-10 distinct programs per (alg, size) trip XLA:CPU's
+    # executable.serialize() segfault in cache-writing suite processes
+    # (see tests/conftest.py), and CPU is correctness-only anyway.
+    # ECFFT_SCAN_SWITCH=split|legacy overrides either way.
+    mode = os.environ.get("ECFFT_SCAN_SWITCH")
+    if mode not in ("split", "legacy"):
+        mode = "split" if use_pallas else "legacy"
+    legacy = mode == "legacy"
+    if legacy:
+        nseg = -(-nsteps // seg_max)
+        seg = -(-nsteps // nseg)
+        pad = nseg * seg - nsteps
+        if pad:
+            scalars = _pad_steps(scalars, pad)
+        pieces = [(lo, lo + seg, None)
+                  for lo in range(0, nseg * seg, seg)]
+    else:
+        host_ops = (np.asarray(sched.host_xs[0])
+                    if sched.host_xs is not None
+                    else np.asarray(scalars[0]))
+        pieces = []
+        lo = 0
+        while lo < nsteps:
+            op = int(host_ops[lo])
+            hi = lo
+            while hi < nsteps and int(host_ops[hi]) == op:
+                hi += 1
+            r = hi - lo
+            while r:
+                p = min(seg_max, 1 << (r.bit_length() - 1))
+                pieces.append((lo, lo + p, op))
+                lo += p
+                r -= p
     # fold-unfriendly primes keep the pool Montgomery-resident: convert
     # ONCE per call, outside the segment bodies (jit caches compiled
     # programs, not values)
     if spec.num_limbs > 1 and spec.fold_terms is None:
         pool = _pool_to_mont(spec, pool)
     L = spec.num_limbs
-    D = jnp.zeros((max(sched.bs_max, 1), L), jnp.uint32)
-    iD = D
-    for lo in range(0, nseg * seg, seg):
-        hi = lo + seg
-        try:
-            x, D, iD = _run_segment(
-                spec, pool,
-                tuple(s[lo:hi] for s in scalars) + (bank,),
-                x, D, iD, use_pallas, batch_chunk)
-        except Exception as e:  # pragma: no cover - runtime envelope aid
-            raise RuntimeError(
-                f"schedule segment [{lo}:{hi}) (window {A} rows) failed; "
-                f"if this is a TPU-runtime crash, lower "
-                f"STEP_ROW_ENVELOPE (currently 2^"
-                f"{STEP_ROW_ENVELOPE.bit_length() - 1})") from e
+    D0 = jnp.zeros((max(sched.bs_max, 1), L), jnp.uint32)
+
+    def run_pieces(x, chunk):
+        """Chain the pieces over one resident state. Split mode donates
+        the state (and diagonals) into every piece — the in-place step
+        kernels then write the caller's buffer directly instead of a
+        defensive copy per piece call (the piece count is ~10× the
+        legacy segment count, so per-call copies would dominate).
+        D/iD must be DISTINCT fresh buffers per chain: both are donated,
+        and a shared or reused buffer would be donated twice."""
+        if legacy:
+            D = iD = D0
+        else:
+            D = jnp.zeros_like(D0) + 0
+            iD = jnp.zeros_like(D0) + 0
+        seg_fn = _run_segment if legacy else _run_segment_donated
+        for lo, hi, op_idx in pieces:
+            try:
+                x, D, iD = seg_fn(
+                    spec, pool,
+                    tuple(s[lo:hi] for s in scalars) + (bank,),
+                    x, D, iD, use_pallas, chunk, op_idx)
+            except Exception as e:  # pragma: no cover - envelope aid
+                raise RuntimeError(
+                    f"schedule segment [{lo}:{hi}) (window {A} rows) "
+                    f"failed; if this is a TPU-runtime crash, lower "
+                    f"STEP_ROW_ENVELOPE (currently 2^"
+                    f"{STEP_ROW_ENVELOPE.bit_length() - 1})") from e
+        return x
+
+    B = x.shape[-1]
+    if (not legacy and batch_chunk is not None and batch_chunk < B
+            and B % batch_chunk == 0):
+        # split mode chunks at the TOP: each batch chunk runs the whole
+        # piece chain on its own (W, L, Bc) state. The legacy path's
+        # per-segment lax.map re-lays the full state out twice per
+        # segment — fine for a handful of segments, ruinous for ~10×
+        # as many pieces.
+        outs = [run_pieces(x[..., c0:c0 + batch_chunk], None)
+                for c0 in range(0, B, batch_chunk)]
+        x = jnp.concatenate(outs, axis=-1)
+    else:
+        x = run_pieces(x, batch_chunk)
     return _unpack_state(
         spec, x, m_out,
         None if sched.out_perm is None else jnp.asarray(sched.out_perm))
@@ -1536,13 +1601,22 @@ def _mul_rows(spec: FieldSpec, a, b):
     return _mulss(spec, a[:, :, None], b[:, :, None])[..., 0]
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7))
-def _run_segment(spec: FieldSpec, pool, sched_xs, x, D, iD,
-                 use_pallas: bool, batch_chunk: int | None):
+def _run_segment_impl(spec: FieldSpec, pool, sched_xs, x, D, iD,
+                      use_pallas: bool, batch_chunk: int | None,
+                      op_idx: int | None = None):
     """One segment of a schedule as its own compiled program (see
     run_schedule). For fold-unfriendly primes the pool arrives already
     Montgomery-converted. Returns (state, D, invD) so the running
-    diagonals survive segment cuts inside an extend."""
+    diagonals survive segment cuts inside an extend.
+
+    ``op_idx``: the segment's single opcode as a STATIC value — the step
+    body compiles to that one branch (the run-split path). None keeps
+    the 8-way lax.switch (legacy single-program interpreter).
+
+    Jitted twice below: ``_run_segment`` (legacy chain — the state may
+    be reused by the caller) and ``_run_segment_donated`` (run-split
+    chain — state and diagonals are dead after each piece, so donating
+    them lets the in-place kernels write the caller's buffer)."""
     mont = spec.num_limbs > 1 and spec.fold_terms is None
     pallas_ok = (
         use_pallas
@@ -1693,9 +1767,12 @@ def _run_segment(spec: FieldSpec, pool, sched_xs, x, D, iD,
             comp = jnp.all(c1 == c2, axis=(0, 1))  # (B,)
             return ret(jnp.where(comp[None, None, :], gx1(), x2))
 
-        state = jax.lax.switch(
-            op_t, [affine, mul, cmpsel, aff1, aff1s, aff1s_c, aff1_c,
-                   affine_c], None)
+        branches = [affine, mul, cmpsel, aff1, aff1s, aff1s_c, aff1_c,
+                    affine_c]
+        if op_idx is None:
+            state = jax.lax.switch(op_t, branches, None)
+        else:
+            state = branches[op_idx](None)
         return (state, D, iD), None
 
     def run_one(args):
@@ -1712,6 +1789,12 @@ def _run_segment(spec: FieldSpec, pool, sched_xs, x, D, iD,
         out = jnp.moveaxis(out, 0, -2).reshape(*x.shape)
         return out, Dn[0], iDn[0]
     return run_one((x, D, iD))
+
+
+_run_segment = jax.jit(_run_segment_impl, static_argnums=(0, 6, 7, 8))
+_run_segment_donated = jax.jit(_run_segment_impl,
+                               static_argnums=(0, 6, 7, 8),
+                               donate_argnums=(3, 4, 5))
 
 
 def to_state(batch_arr, W: int, one_pos: int):

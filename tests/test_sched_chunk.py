@@ -3,6 +3,7 @@ monolithic run (the chunked path bounds the HBM peak — state + two
 gathers + the step output are each (A, L, B) — so the BASELINE batch-256
 n=2^16 config fits one chip)."""
 
+import jax
 import numpy as np
 
 import ecfft_tpu as ec
@@ -110,3 +111,28 @@ def test_oversized_state_preflight(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     out = tree.enter(enc)
     assert out.shape == (1, n, 16)
+
+
+def test_run_split_matches_legacy_switch(monkeypatch):
+    """The per-op-run segmentation (static-branch pieces, power-of-two
+    canonicalized lengths) must produce the same bits as the legacy
+    single-program switch interpreter (ECFFT_SCAN_SWITCH=legacy), for a
+    schedule that exercises every op family (enter + exit + degree)."""
+    n = 256
+    tree = build_fftree_native("m31", n)
+    tree.prepare((n,))
+    rng = np.random.RandomState(7)
+    coeffs = [[int(v) for v in row]
+              for row in rng.randint(0, ec.FIELDS["m31"].p, size=(3, n))]
+    enc = tree.encode(coeffs)
+    monkeypatch.setenv("ECFFT_SCAN_SWITCH", "split")
+    new_ev = np.asarray(tree.enter(enc))
+    new_back = np.asarray(tree.exit(jax.numpy.asarray(new_ev)))
+    new_deg = np.asarray(tree.degree(jax.numpy.asarray(new_ev)))
+    monkeypatch.setenv("ECFFT_SCAN_SWITCH", "legacy")
+    old_ev = np.asarray(tree.enter(enc))
+    old_back = np.asarray(tree.exit(jax.numpy.asarray(old_ev)))
+    old_deg = np.asarray(tree.degree(jax.numpy.asarray(old_ev)))
+    assert np.array_equal(new_ev, old_ev)
+    assert np.array_equal(new_back, old_back)
+    assert np.array_equal(new_deg, old_deg)
